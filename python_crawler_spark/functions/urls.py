@@ -1,0 +1,119 @@
+"""URL kernels: canonicalization, signature, absolute-join, pagination.
+
+Spark-column variants (JVM, codegen) are the data plane; the pandas
+variants back the Arrow-vectorized UDF path and the pure-Python oracle.
+Both implement the SAME spec so ordering/seen-set equality holds.
+
+Reference semantics reimplemented (not copied):
+- pic signature = 3rd path segment, None if path has <4 segments
+  (/root/reference/crawler/weixin_public.py:118-123, SURVEY X2).
+- absolute-URL join: prefix base when href is not http*
+  (/root/reference/crawler/weixin_public.py:198-200,
+   /root/reference/crawler/chuansongmen.py:85, SURVEY X4).
+- pagination: link + '?start=' + 12*(i-1), i in [1, max_page)
+  (/root/reference/crawler/chuansongmen.py:65-68, SURVEY X5).
+- query-param extract with default
+  (/root/reference/crawler/weixin_public.py:269-275, SURVEY X3).
+
+Canonicalization itself is NEW (the reference has none): lowercase
+scheme+host, strip default port, strip fragment, drop trailing '?',
+sort query params. It is idempotent (property-tested).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Scalar canonicalizer (oracle path)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url:
+        return url
+    try:
+        scheme, netloc, path, query, _frag = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = scheme.lower()
+    netloc = netloc.lower()
+    if ":" in netloc:
+        host, _, port = netloc.rpartition(":")
+        if _DEFAULT_PORTS.get(scheme) == port:
+            netloc = host
+    if not path:
+        path = "/"
+    if query:
+        query = urlencode(sorted(parse_qsl(query, keep_blank_values=True)))
+    # trailing strip again: fragment removal can expose trailing spaces
+    return urlunsplit((scheme, netloc, path, query, "")).strip()
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer for the Arrow UDF path."""
+    return urls.map(canonicalize_url, na_action="ignore")
+
+
+def host_of(url: str) -> str:
+    """Scalar host extraction (oracle path)."""
+    if url is None:
+        return None
+    netloc = urlsplit(url).netloc.lower()
+    return netloc.rpartition(":")[0] if ":" in netloc else netloc
+
+
+def pic_signature(url: str) -> str | None:
+    """Scalar: 3rd path segment, or None when the path has fewer than
+    4 '/'-separated segments (weixin_public.py:118-123 semantics)."""
+    if url is None:
+        return None
+    parts = urlsplit(url).path.split("/")
+    return parts[2] if len(parts) >= 4 else None
+
+
+def absolutize(href: str, base: str) -> str:
+    """Scalar: prefix ``base`` unless href already starts with http."""
+    if href is None:
+        return None
+    return href if href.startswith("http") else base + href
+
+
+# ---------------------------------------------------------------- Spark side
+
+
+def host_col(url: Column) -> Column:
+    """Host of a URL, lowercased, default port stripped — JVM-side."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    return host
+
+
+def pic_signature_col(url: Column) -> Column:
+    """Column variant of :func:`pic_signature` (SURVEY X2)."""
+    parts = F.split(F.parse_url(url, F.lit("PATH")), "/")
+    return F.when(F.size(parts) >= 4, F.element_at(parts, 3))
+
+
+def query_param_col(url: Column, param: str, default: str) -> Column:
+    """``coalesce(parse_url(url,'QUERY',param), default)`` (SURVEY X3)."""
+    return F.coalesce(F.parse_url(url, F.lit("QUERY"), F.lit(param)), F.lit(default))
+
+
+def absolutize_col(href: Column, base: Column) -> Column:
+    """Column variant of :func:`absolutize` (SURVEY X4)."""
+    return F.when(href.startswith("http"), href).otherwise(F.concat(base, href))
+
+
+def pagination_urls_col(link: Column, max_page: Column) -> Column:
+    """Array of page URLs ``link?start=12*(i-1)`` for i in [1, max_page)
+    (SURVEY X5 — range EXCLUDES max_page, chuansongmen.py:65)."""
+    pages = F.sequence(F.lit(1), max_page - 1)
+    return F.transform(
+        pages, lambda i: F.concat(link, F.lit("?start="), ((i - 1) * 12).cast("string"))
+    )

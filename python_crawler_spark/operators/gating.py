@@ -1,0 +1,137 @@
+"""Gating rules: broadcast-joined filter tables (SURVEY F3-F6, F14-F15,
+J2-J4, J8 robots).
+
+The reference hard-codes its gates as if/elif chains and in-memory
+sets; here every gate is a row in one ``rules`` table broadcast to the
+executors, so gating is data-driven and new rules deploy without code
+changes:
+
+  rules(kind, key, pattern, action)
+
+kinds: title_skip | name_black | pic_sig_black | link_shape | robots | trim
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import worldgen
+
+RULES_SCHEMA = "kind string, key string, pattern string, action string"
+
+
+def gen_rules() -> list[dict]:
+    """The rules table contents (FIXTURES.md A4). Patterns are the
+    reference's gating semantics re-expressed as regex rows:
+    weixin_public.py:183-188 (title skips), tianyan_crawler.py:108
+    (name blacklist), weixin_public.py:66-106 (23 pic signatures),
+    chuansongmen.py:74-76 (link shape), weixin_public.py:374-501
+    (trim markers); robots rows are NEW (absent in the reference)."""
+    rules: list[dict] = [
+        dict(kind="title_skip", key=None, pattern="^每日花语", action="skip"),
+        dict(kind="title_skip", key=None, pattern="潮汐·扑克问答", action="skip"),
+        dict(kind="title_skip", key="扑克投资家", pattern="百家第.*期报名", action="skip"),
+        dict(kind="title_skip", key="华商韬略", pattern="今日财经头条", action="skip"),
+    ]
+    rules += [
+        dict(kind="name_black", key=None, pattern=n, action="skip")
+        for n in worldgen.NAME_BLACKLIST
+    ]
+    rules += [
+        dict(kind="pic_sig_black", key=None, pattern=sig, action="skip")
+        for sig in worldgen.black_pic_signatures()
+    ]
+    rules.append(dict(kind="link_shape", key="chuansongmen", pattern=r"^/n/\d*", action="keep"))
+    # robots: NEW vs reference (SURVEY J8) — deny a deterministic slice
+    # of article paths on the hot host; the oracle applies the same rule.
+    rules.append(dict(kind="robots", key="chuansong.me", pattern=r"^/n/\d*13$", action="deny"))
+    # trim rules (D6): data-driven marker replaces the 11-branch chain.
+    rules += [
+        dict(kind="trim", key=name, pattern=f"<p>【END】{name}</p>", action="strip_after")
+        for name in worldgen.WEIXIN_SEEDS
+    ]
+    return rules
+
+
+def rules_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(gen_rules(), RULES_SCHEMA)
+
+
+def _rules_of(rules: DataFrame, kind: str) -> DataFrame:
+    return rules.filter(F.col("kind") == kind)
+
+
+def filter_blacklisted_names(seeds: DataFrame, rules: DataFrame) -> DataFrame:
+    """F3/J3: drop seeds whose exact name is blacklisted."""
+    black = _rules_of(rules, "name_black").select(F.col("pattern").alias("name"))
+    return seeds.join(F.broadcast(black), "name", "left_anti")
+
+
+def apply_title_rules(items: DataFrame, rules: DataFrame, account_col: str = "name") -> DataFrame:
+    """F5 + F6: strip one leading 原创 (replace-first via ^ anchor),
+    then drop titles matching any global or account-scoped skip rule.
+
+    Implemented as a broadcast theta-join (title rlike pattern) +
+    anti-semantics via left join on matched rule — stays JVM-side."""
+    items = items.withColumn(
+        "title", F.trim(F.regexp_replace("title", "^原创", ""))
+    )
+    skips = F.broadcast(
+        _rules_of(rules, "title_skip").select(
+            F.col("key").alias("_rule_key"), F.col("pattern").alias("_rule_pat")
+        )
+    )
+    joined = items.join(
+        skips,
+        (F.col("_rule_key").isNull() | (F.col("_rule_key") == F.col(account_col)))
+        & F.col("title").rlike(F.col("_rule_pat")),
+        "left_anti",
+    )
+    return joined
+
+
+def link_shape_filter(links: DataFrame, rules: DataFrame, source: str, href_col: str = "href") -> DataFrame:
+    """F14: keep only hrefs matching the source's link-shape regex."""
+    pats = [
+        r["pattern"]
+        for r in _rules_of(rules, "link_shape").filter(F.col("key") == source).collect()
+    ]
+    if not pats:
+        return links
+    cond = None
+    for p in pats:
+        c = F.col(href_col).rlike(p)
+        cond = c if cond is None else (cond | c)
+    return links.filter(cond)
+
+
+def robots_gate(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """J8 (new): drop frontier rows whose (host, path) matches a deny
+    rule — broadcast left-anti theta-join."""
+    deny = F.broadcast(
+        _rules_of(rules, "robots")
+        .filter(F.col("action") == "deny")
+        .select(F.col("key").alias("_r_host"), F.col("pattern").alias("_r_pat"))
+    )
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return frontier.join(
+        deny,
+        (F.col("host") == F.col("_r_host")) & path.rlike(F.col("_r_pat")),
+        "left_anti",
+    )
+
+
+def pic_sig_gate(imgs: DataFrame, rules: DataFrame, sig_col: str = "sig") -> DataFrame:
+    """F15/J2: drop images whose URL signature is blacklisted."""
+    black = _rules_of(rules, "pic_sig_black").select(F.col("pattern").alias(sig_col))
+    return imgs.join(F.broadcast(black), sig_col, "left_anti")
+
+
+def trim_rules_map(rules: DataFrame) -> DataFrame:
+    """D6 rule lookup table: (account key, marker, direction)."""
+    return _rules_of(rules, "trim").select(
+        F.col("key").alias("trim_key"),
+        F.col("pattern").alias("trim_marker"),
+        F.col("action").alias("trim_direction"),
+    )

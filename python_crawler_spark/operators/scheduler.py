@@ -1,0 +1,156 @@
+"""Politeness scheduler (SURVEY §2.6, O1-O11).
+
+The reference's fetch order is the sequential program order of three
+single-threaded loops; its politeness budget is sleep() calls. Here:
+
+- ordering is a SORT KEY, never task timing: the priority tuple
+  (source_rank, line_no, stage, page_no, link_idx, attempt) totally
+  orders all fetches exactly as the reference's nested loops would
+  (O1 seed-file order, stage separates list/article phases, O2 DOM
+  order via link_idx, O3 page order, O8 retries directly after their
+  failed attempt);
+- politeness delays are VIRTUAL TIME: cumulative sums of crawl_delay
+  in priority order give each fetch its scheduled_at. Nothing sleeps;
+  scheduler throughput is compute-bound (BASELINE.md note).
+
+Two schedules are computed:
+- ref_seq / ref_virtual_ts: per-source single-thread-equivalent clock,
+  the oracle-comparable replay (O4-O7);
+- host_rank / host_scheduled_at: per-(host, salt) queues — the
+  schedule a distributed fetcher would honor; salting splits hot-host
+  queues (all weixin articles share one host, weixin_public.py:39)
+  into n_salts parallel polite queues (north_rule skew handling).
+
+Scale note: a naive Window.partitionBy(source) puts ~all rows of a
+10^10 frontier into a handful of partitions. global_rank_and_cumsum
+below is the scalable replacement: range-repartition by the priority
+tuple, rank + prefix-sum within each partition, then add broadcast
+per-partition offsets (two jobs, no single-partition shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PRIORITY_COLS = ["source_rank", "line_no", "stage", "page_no", "link_idx", "attempt"]
+
+SOURCE_RANK = {"weixin": 0, "chuansongmen": 1, "tianyan": 2}
+
+# frontier stages: list/search pages fetch before any of their children
+STAGE_ROOT = 0      # account root (csm) / search page (tianyan) / list (weixin)
+STAGE_LIST = 1      # csm ?start= list pages
+STAGE_CHILD = 2     # article / detail fetches
+
+
+def with_priority(frontier: DataFrame) -> DataFrame:
+    """Attach source_rank; the rest of the tuple is carried from
+    frontier expansion (each child inherits line_no and gets its DOM
+    position as link_idx — SURVEY O1-O4)."""
+    rank = F.create_map(
+        *[x for s, r in SOURCE_RANK.items() for x in (F.lit(s), F.lit(r))]
+    )
+    return frontier.withColumn("source_rank", rank[F.col("source")].cast("int"))
+
+
+def global_rank_and_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    partition_col: str | None = None,
+    n_range_partitions: int = 32,
+    rank_name: str = "seq",
+    cumsum_name: str = "virtual_ts",
+) -> DataFrame:
+    """Distributed total-order rank + exclusive prefix sum.
+
+    Within each ``partition_col`` group (e.g. source), computes
+    rank_name = 1-based position in ``order_cols`` order and
+    cumsum_name = sum of ``value_col`` over all STRICTLY PRIOR rows
+    (the single-thread virtual clock: a fetch starts after the delays
+    of everything before it).
+
+    Two-pass: (1) range-repartition on (partition_col?, order_cols) so
+    each task holds a contiguous key range; (2) per-partition window
+    rank/cumsum; (3) add per-partition offsets (row counts + delay
+    totals) computed once and broadcast — O(#partitions) driver data,
+    no single-partition shuffle at any scale.
+    """
+    part = [partition_col] if partition_col else []
+    range_cols = [F.col(c) for c in part + order_cols]
+    dfp = df.repartitionByRange(n_range_partitions, *range_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    dfp = dfp.persist()
+    totals = (
+        dfp.groupBy(*part, "_pid")
+        .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))
+    )
+    w_off = (
+        Window.partitionBy(*[F.col(c) for c in part])
+        if part
+        else Window.partitionBy(F.lit(1))
+    )
+    offsets = totals.select(
+        *part,
+        "_pid",
+        (
+            F.sum("_cnt").over(w_off.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1))
+        ).alias("_cnt_off"),
+        (
+            F.sum("_sum").over(w_off.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1))
+        ).alias("_sum_off"),
+    ).fillna(0, subset=["_cnt_off", "_sum_off"])
+
+    w_in = Window.partitionBy(*part, "_pid").orderBy(*[F.col(c) for c in order_cols])
+    ranked = (
+        dfp.withColumn("_rn", F.row_number().over(w_in))
+        .withColumn(
+            "_cs",
+            F.coalesce(
+                F.sum(value_col).over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .join(F.broadcast(offsets), part + ["_pid"], "left")
+        .withColumn(rank_name, F.col("_rn") + F.coalesce(F.col("_cnt_off"), F.lit(0)))
+        .withColumn(
+            cumsum_name, F.col("_cs") + F.coalesce(F.col("_sum_off"), F.lit(0.0))
+        )
+        .drop("_pid", "_rn", "_cs", "_cnt_off", "_sum_off")
+    )
+    return ranked
+
+
+def schedule(frontier: DataFrame, n_salts: int = 8, n_range_partitions: int = 32) -> DataFrame:
+    """Produce the round's fetch plan.
+
+    Adds:
+      ref_seq, ref_virtual_ts  — per-source sequential replay clock
+      host_salt                — xxhash64(url) mod n_salts
+      host_rank, host_scheduled_at — per-(host,salt) polite queue
+    Output is the input plus schedule columns; emit order for a
+    sequential replay is (source_rank, ref_seq).
+    """
+    f = with_priority(frontier)
+    f = global_rank_and_cumsum(
+        f,
+        PRIORITY_COLS,
+        "crawl_delay",
+        partition_col="source",
+        n_range_partitions=n_range_partitions,
+        rank_name="ref_seq",
+        cumsum_name="ref_virtual_ts",
+    )
+    f = f.withColumn("host_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int"))
+    w_host = Window.partitionBy("host", "host_salt").orderBy(
+        *[F.col(c) for c in PRIORITY_COLS]
+    )
+    f = f.withColumn("host_rank", F.row_number().over(w_host)).withColumn(
+        "host_scheduled_at",
+        F.coalesce(
+            F.sum("crawl_delay").over(w_host.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ),
+    )
+    return f
