@@ -85,7 +85,7 @@ def apply_title_rules(items: DataFrame, rules: DataFrame, account_col: str = "na
     joined = items.join(
         skips,
         (F.col("_rule_key").isNull() | (F.col("_rule_key") == F.col(account_col)))
-        & F.col("title").rlike(F.col("_rule_pat")),
+        & F.rlike(F.col("title"), F.col("_rule_pat")),
         "left_anti",
     )
     return joined
@@ -117,7 +117,7 @@ def robots_gate(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     path = F.parse_url(F.col("url"), F.lit("PATH"))
     return frontier.join(
         deny,
-        (F.col("host") == F.col("_r_host")) & path.rlike(F.col("_r_pat")),
+        (F.col("host") == F.col("_r_host")) & F.rlike(path, F.col("_r_pat")),
         "left_anti",
     )
 

@@ -1,0 +1,136 @@
+"""End-to-end: the distributed round-loop pipeline must equal the
+sequential reference-semantics oracle exactly (SURVEY §5.1) —
+fetch order, per-source virtual clocks, seen-set membership, and
+extracted article/company/image records."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_crawler_spark.plans.crawl import CrawlConfig, CrawlRun
+from python_crawler_spark.sources.worldgen import WorldSpec
+
+from .oracle import Oracle
+
+SPEC = WorldSpec(n_tianyan_seeds=12)
+
+
+@pytest.fixture(scope="module")
+def run_and_oracle(spark):
+    cfg = CrawlConfig(spec=SPEC, n_buckets=8, use_bloom=True)
+    run = CrawlRun(spark, cfg)
+    results = run.run()
+    oracle = Oracle(spec=SPEC, fixed_date=cfg.fixed_date).run()
+    return results, oracle
+
+
+def test_fetch_order_matches_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    got = [
+        (r["source"], r["url"], r["attempt"])
+        for r in results["fetch_order"].select("source", "url", "attempt").collect()
+    ]
+    want = [(e["source"], e["url"], e["attempt"]) for e in oracle.events]
+    assert got == want
+
+
+def test_virtual_clock_matches_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    got = {
+        (r["url"], r["attempt"]): (r["ref_virtual_ts"], r["crawl_delay"])
+        for r in results["fetch_order"]
+        .select("url", "attempt", "ref_virtual_ts", "crawl_delay")
+        .collect()
+    }
+    for e in oracle.events:
+        ts, d = got[(e["url"], e["attempt"])]
+        assert ts == pytest.approx(e["virtual_ts"], abs=1e-9), e["url"]
+        assert d == pytest.approx(e["crawl_delay"], abs=1e-9), e["url"]
+
+
+def test_seen_set_matches_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    got = {r["dedup_key"] for r in results["seen"].select("dedup_key").collect()}
+    assert got == oracle.seen
+
+
+def test_articles_match_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    cols = [
+        "src_url", "title", "author_name", "resource_from", "content",
+        "content_src", "content_read", "audit_status", "publish_time",
+        "create_time", "summary", "src_header", "cover_small",
+    ]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in results["articles"].select(cols).collect()
+    )
+    want = sorted(tuple(a[c] for c in cols) for a in oracle.articles)
+    assert got == want
+
+
+def test_csm_texts_match_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    got = sorted(
+        (r["src_url"], r["account"], r["text"])
+        for r in results["articles_text"].collect()
+    )
+    want = sorted((a["src_url"], a["account"], a["text"]) for a in oracle.articles_text)
+    assert got == want
+
+
+def test_companies_match_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    scalar_cols = [
+        "company_id", "sourceFrom", "last_update", "name", "phone", "email",
+        "url", "address", "score", "register_capital", "status",
+        "register_time", "legal_repr",
+    ]
+    rows = results["companies"].collect()
+    got = {r["company_id"]: r for r in rows}
+    want = {c["company_id"]: c for c in oracle.companies}
+    assert set(got) == set(want)
+    for cid, w in want.items():
+        g = got[cid]
+        for c in scalar_cols:
+            assert g[c] == w[c], (cid, c)
+        assert [tuple(s) for s in (g["staff_info"] or [])] == [
+            (s["name"], s["href"], s["title"]) for s in w["staff_info"]
+        ]
+        assert [tuple(s) for s in (g["holder_info"] or [])] == [
+            (s["name"], s["link"], s["type"], s["money"]) for s in w["holder_info"]
+        ]
+        assert [tuple(s) for s in (g["out_invest"] or [])] == [
+            (s["name"], s["link"], s["type"], s["money"]) for s in w["out_invest"]
+        ]
+        assert dict(g["details"] or {}) == w["details"]
+
+
+def test_images_match_oracle(run_and_oracle):
+    results, oracle = run_and_oracle
+    cols = ["image_id", "w", "h", "fmt", "caption", "phash", "small", "sig",
+            "src_url", "article_url", "rehost_url", "dec_fmt", "n_bytes"]
+    got = sorted(tuple(r[c] for c in cols) for r in results["images"].select(cols).collect())
+    want = sorted(tuple(i[c] for i in [img] for c in cols) for img in oracle.images for i in [img])
+    assert got == want
+
+
+def test_image_pixel_invariant_psnr(run_and_oracle):
+    """input_hint: decoded-pixel allclose (PSNR>=40dB lossy) + caption
+    equality vs the (oracle) reference pipeline."""
+    import numpy as np
+
+    from python_crawler_spark.functions.images import decode_image, psnr
+    from python_crawler_spark.operators.multimodal import synth_image_pixels
+
+    results, oracle = run_and_oracle
+    rows = results["images"].select("src_url", "bytes", "caption", "dec_fmt").collect()
+    assert rows
+    oracle_by_src = {i["src_url"]: i for i in oracle.images}
+    for r in rows:
+        ref_px, _ = synth_image_pixels(r["src_url"])
+        w, h, fmt, dec = decode_image(bytes(r["bytes"]))
+        if fmt == "png":
+            assert np.array_equal(dec, ref_px)
+        else:
+            assert psnr(ref_px, dec) >= 40.0
+        assert r["caption"] == oracle_by_src[r["src_url"]]["caption"]
