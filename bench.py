@@ -1,0 +1,74 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+synthetic-frontier scheduler throughput bench (the BASELINE.json
+target metric), and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall seconds across the headline queries (lower is
+better); `frontier_urls_per_sec` reports the scheduler throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_crawler_spark.bench_frontier import run_schedule_pipeline  # noqa: E402
+from python_crawler_spark.queries import QUERIES  # noqa: E402
+from python_crawler_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "frontier_schedule", "politeness_topk", "first_occurrence", "sessionize",
+    "anti_join_dedup", "exact_dedup_docs", "minhash_near_dup", "simhash_dedup",
+    "cosine_topk", "token_quality", "tpch_q1", "star_join_revenue",
+    "salted_skew_agg", "hourly_window_agg", "url_kernel",
+]
+
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "8000000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(app_name="pcs-bench", parallelism=cpus, shuffle_partitions=cpus)
+
+    # warm the JVM/Arrow/codegen paths once so numbers measure the
+    # operators, not session startup or whole-stage-codegen JIT
+    QUERIES["tpch_q1"](spark, sf_dir).count()
+    run_schedule_pipeline(spark, 500_000)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    fdt, fn, fsched = run_schedule_pipeline(spark, FRONTIER_N)
+    times["frontier_pipeline"] = round(fdt, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "frontier_urls": fn,
+        "frontier_scheduled": fsched,
+        "frontier_urls_per_sec": round(fn / fdt, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,13 +39,19 @@ def batch_first_occurrence(cand: DataFrame, key: str, order_cols: list[str]) -> 
     """Keep the first occurrence of each ``key`` within the batch,
     ordered by the deterministic priority tuple (J6 step 1 —
     first-occurrence-wins by (line_no, page_no, link_idx) order,
-    never by task timing)."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    never by task timing).
+
+    Implemented as min_by over the priority struct rather than a
+    row_number window: min_by is a declarative aggregate with partial
+    (map-side) combine, so duplicate-heavy batches shrink BEFORE the
+    shuffle and no full per-key sort happens — the difference between
+    O(n log n) sort-shuffle and O(n) combine at 10^10 rows."""
+    others = [c for c in cand.columns if c != key]
+    winner = F.min_by(
+        F.struct(*[F.col(c) for c in others]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_row")
+    return cand.groupBy(key).agg(winner).select(key, "_row.*")
 
 
 def anti_join_seen(cand: DataFrame, seen: DataFrame, key: str = "key_hash") -> DataFrame:
@@ -129,20 +135,82 @@ def bloom_prefilter(
     )
 
 
+def bloom_prefilter_broadcast(
+    cand: DataFrame,
+    filters: DataFrame,
+    key: str = "key_hash",
+    bucket: str = "bucket",
+) -> DataFrame:
+    """Broadcast variant of :func:`bloom_prefilter`: when all bucket
+    filters together fit in executor memory (the common case until the
+    seen set reaches billions), ship them once per executor and probe
+    with a scalar pandas UDF — zero additional shuffle, no cogroup.
+
+    The pipeline stays identical; only the physical strategy changes —
+    the same adaptive choice Spark makes between broadcast-hash and
+    shuffle joins."""
+    spark = cand.sparkSession
+    rows = filters.collect()
+    blobs = {int(r["bucket"]): (np.frombuffer(r["filter"], dtype=np.uint8), int(r["m_bits"])) for r in rows}
+    bc = spark.sparkContext.broadcast(blobs)
+
+    @F.pandas_udf("boolean")
+    def might(bkt: pd.Series, kh: pd.Series) -> pd.Series:
+        table = bc.value
+        out = np.zeros(len(kh), dtype=bool)
+        b_arr = bkt.to_numpy(dtype=np.int64)
+        h_arr = kh.to_numpy(dtype=np.int64)
+        for b in np.unique(b_arr):
+            ent = table.get(int(b))
+            if ent is None:
+                continue
+            bits, m_bits = ent
+            m = b_arr == b
+            pos = _positions(h_arr[m], m_bits)
+            hit = (bits[pos // 8] & (np.uint8(1) << (pos % 8).astype(np.uint8))) != 0
+            out[m] = hit.all(axis=1)
+        return pd.Series(out)
+
+    return cand.withColumn("might_seen", might(F.col(bucket), F.col(key)))
+
+
+# total serialized filter size below which the broadcast probe is used
+BLOOM_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def dedup_against_seen(
     cand: DataFrame,
     seen: DataFrame,
     filters: DataFrame | None,
     key: str = "key_hash",
+    broadcast_max_bytes: int = BLOOM_BROADCAST_MAX_BYTES,
+    seen_unique: bool = False,
+    filters_total_bytes: int | None = None,
 ) -> DataFrame:
     """Full two-phase historical dedup: bloom prefilter (when filters
     provided) then exact anti-join on ONLY the probable-positive rows.
     Correct under Bloom false positives because the exact join is the
-    last word; no false negatives by Bloom construction."""
+    last word; no false negatives by Bloom construction.
+
+    Physical strategy is adaptive: filters small enough to broadcast
+    -> per-executor probe (no shuffle); otherwise cogrouped probe
+    co-partitioned by bucket (the 10^10-seen path)."""
     if filters is not None:
-        flagged = bloom_prefilter(cand, filters, key=key)
-        definite_new = flagged.filter(~F.col("might_seen")).drop("might_seen")
-        maybe_seen = flagged.filter(F.col("might_seen")).drop("might_seen")
-        confirmed_new = anti_join_seen(maybe_seen, seen, key)
-        return definite_new.unionByName(confirmed_new)
+        total = filters_total_bytes
+        if total is None:
+            total = filters.agg(F.sum(F.expr("m_bits / 8"))).first()[0] or 0
+        if total <= broadcast_max_bytes:
+            flagged = bloom_prefilter_broadcast(cand, filters, key=key)
+        else:
+            flagged = bloom_prefilter(cand, filters, key=key)
+        # single anti-join with a compound condition: rows with
+        # might_seen=false can never match, so they pass through
+        # WITHOUT a second evaluation of the upstream pipeline (a
+        # filter/union split would compute enrich+probe twice), and
+        # the join's build side stays the seen keys.
+        seen_keys = seen.select(F.col(key).alias("_seen_key"))
+        if not seen_unique:
+            seen_keys = seen_keys.distinct()
+        cond = (F.col(key) == F.col("_seen_key")) & F.col("might_seen")
+        return flagged.join(seen_keys, cond, "left_anti").drop("might_seen")
     return anti_join_seen(cand, seen, key)

@@ -1,0 +1,759 @@
+"""Operator-family queries over the driver testdata, each paired with
+an ANSI-SQL DuckDB oracle (SURVEY §5.5).
+
+Mapping (FIXTURES.md §B): events(user_id->host, ts->priority) stands in
+for scheduler windows; documents for parse/string/text-analysis ops;
+orders x customer anti-joins for seen-set dedup; embeddings for
+similarity search. Every aggregate/computed column is aliased
+IDENTICALLY in the Spark plan and the SQL so the driver's
+sorted-column value-hash comparison is meaningful. Double-valued
+aggregates are rounded to 4 decimals on both sides (sum order varies
+across engines/partitions).
+
+Scale notes are in each query's docstring: the Spark side is written
+so the plan survives 100x data (predicate pushdown to the parquet
+scan, broadcast for small dims, two-stage salted aggregation for
+skewed keys, window partitioning by the natural key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- scheduler
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Flagship: the politeness scheduler shape over events-as-frontier
+    (host=user_id, priority=(ts,event_id), crawl_delay=value).
+    Per-host rank + EXCLUSIVE cumulative virtual time (O4-O7)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("host"),
+        F.row_number().over(w).alias("host_rank"),
+        F.round(
+            F.coalesce(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("scheduled_at"),
+    )
+
+
+SQL_FRONTIER_SCHEDULE = """
+SELECT event_id,
+       user_id AS host,
+       row_number() OVER w AS host_rank,
+       round(coalesce(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS scheduled_at
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_politeness_topk(spark, sf_dir):
+    """Top-3 most-delayed fetches per host (top-K-per-group window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("user_id").alias("host"), "event_id", "rk")
+    )
+
+
+SQL_POLITENESS_TOPK = """
+SELECT user_id AS host, event_id, rk FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events) WHERE rk <= 3
+"""
+
+
+def q_first_occurrence(spark, sf_dir):
+    """J6 step 1: within-batch first-occurrence-wins by priority order
+    ((ts,event_id) per (user_id,event_type) key)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("host"), "event_type", "event_id")
+    )
+
+
+SQL_FIRST_OCCURRENCE = """
+SELECT user_id AS host, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session; session count
+    per host (lag + cumsum window composition)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return sess.groupBy(F.col("user_id").alias("host")).agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id AS host, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events) GROUP BY user_id
+"""
+
+
+def q_hourly_window_agg(spark, sf_dir):
+    """Streaming-analog tumbling window: hourly counts + rounded sums
+    per event_type (batch equivalent of the readStream agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+
+
+SQL_HOURLY_WINDOW_AGG = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_anti_join_dedup(spark, sf_dir):
+    """J1: candidates not in seen — customers with no orders, counted
+    by segment. Spark picks SMJ/shuffled-hash under AQE; at scale the
+    seen side is bucketed (see operators/dedup.py)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_never_ordered"))
+    )
+
+
+SQL_ANTI_JOIN_DEDUP = """
+SELECT c_mktsegment, count(*) AS n_never_ordered
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact content dedup: distinct text-hash count per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT source, count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash near-dup candidates: 4 word-level minhashes per doc
+    (min over md5(i||word)); docs sharing the full signature form a
+    candidate bucket; emit buckets with >1 doc. At 100TB the same plan
+    shards by band (bucket join), here 4 hashes = 1 band."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sig = words.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(str(i)), F.col("w")))).alias(f"mh{i}") for i in range(4)]
+    )
+    return (
+        sig.groupBy("mh0", "mh1", "mh2", "mh3")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+SQL_MINHASH_NEAR_DUP = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), sig AS (
+  SELECT doc_id,
+         min(md5('0' || w)) AS mh0, min(md5('1' || w)) AS mh1,
+         min(md5('2' || w)) AS mh2, min(md5('3' || w)) AS mh3
+  FROM words WHERE w <> '' GROUP BY doc_id
+)
+SELECT mh0, mh1, mh2, mh3, count(*) AS bucket_size, min(doc_id) AS min_doc
+FROM sig GROUP BY mh0, mh1, mh2, mh3 HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: word-3-gram sets, pairwise Jaccard
+    within minhash candidate buckets only (never all-pairs). Emits
+    pairs with J >= 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+                " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sig = words.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.expr("slice(ws, 1, 4)"))).alias("bkt"),
+    )
+    pairs = (
+        sig.alias("x")
+        .join(sig.alias("y"), (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    ga = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("g"))
+    gb = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("g"))
+    inter = pairs.join(ga, "a").join(gb, ["b", "g"]).groupBy("a", "b").agg(F.count("*").alias("i"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+), sig AS (
+  SELECT doc_id, md5(array_to_string(list_slice(ws, 1, 4), ' ')) AS bkt FROM words
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+  ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+), inter AS (
+  SELECT p.a, p.b, count(*) AS i FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.a
+  JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+  GROUP BY p.a, p.b
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+)
+SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+"""
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash-style grouping: 16-bit signature from per-word hash bit
+    votes; groups sharing a signature are near-dup candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bits = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(F.md5("w"), b + 1, 1), 16, 10).cast("int") % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    votes = words.groupBy("doc_id").agg(*bits)
+    sig = votes.select(
+        "doc_id",
+        F.concat(*[F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(16)]).alias(
+            "simhash"
+        ),
+    )
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+_SIMHASH_BITS = ",\n         ".join(
+    "sum(CASE WHEN CAST(('0x' || substr(md5(w), %d, 1)) AS INT) %% 2 = 1 THEN 1 ELSE -1 END) AS v%d"
+    % (b + 1, b)
+    for b in range(16)
+)
+_SIMHASH_CONCAT = " || ".join(
+    f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(16)
+)
+SQL_SIMHASH_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), votes AS (
+  SELECT doc_id,
+         {_SIMHASH_BITS}
+  FROM words WHERE w <> '' GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM votes
+)
+SELECT simhash, count(*) AS bucket_size, min(doc_id) AS min_doc
+FROM sig GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force ANN baseline: cosine similarity of every embedding
+    vs the vec_id=0 query vector, top-20. Stays JVM-side via
+    aggregate/zip_with higher-order functions; at scale the query side
+    is a broadcast and the scan prunes to (vec_id, embedding)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    qnrm = F.expr(
+        "sqrt(aggregate(qv, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot / (nrm * qnrm), 4).alias("cosine"))
+    )
+    # take the top-20 FIRST (TakeOrderedAndProject, fully distributed),
+    # then rank the 20 survivors — no global single-partition window.
+    top = sims.orderBy(F.desc("cosine"), "vec_id").limit(20)
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+zipped AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+sims AS (
+  SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+  FROM zipped GROUP BY vec_id
+)
+SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+FROM sims ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """LSH-bucketed ANN scale path: random-hyperplane-free signature
+    (signs of the first 8 dimensions); bucket population stats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) > 0, "1").otherwise("0")
+            for i in range(8)
+        ]
+    )
+    return (
+        emb.select(sig.alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.countDistinct("label").alias("n_labels"))
+    )
+
+
+SQL_LSH_BUCKET_STATS = """
+SELECT {sig} AS bucket, count(*) AS n, count(DISTINCT label) AS n_labels
+FROM embeddings GROUP BY 1
+""".format(
+    sig=" || ".join(
+        f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END" for i in range(8)
+    )
+)
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def q_token_quality(spark, sf_dir):
+    """Quality scoring: token count, stopword ratio, mean word length
+    — averaged per lang (training-data filters)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))")
+    d = docs.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        (n_stop / n_tok).alias("stop_ratio"),
+        (F.length("text") / n_tok).alias("wlen"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        F.round(F.avg("wlen"), 4).alias("avg_wlen"),
+    )
+
+
+SQL_TOKEN_QUALITY = f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_tok), 4) AS avg_tokens,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       round(avg(wlen), 4) AS avg_wlen
+FROM (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS wlen
+  FROM documents)
+GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: hash of the first 8 words (shingle
+    prefix) — dedup key for near-identical heads."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.expr("slice(split(text, ' '), 1, 8)")))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit voting (the real n-gram
+    model is the same shape: per-doc token stats -> argmax)."""
+    docs = _t(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    hits = F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))")
+    pred = F.when(hits >= 3, "en").otherwise("unknown")
+    return docs.select("doc_id", pred.alias("pred_lang"), "lang")
+
+
+SQL_LANG_ID_HEURISTIC = f"""
+SELECT doc_id,
+       CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ({', '.join(repr(s) for s in STOPWORDS)}))) >= 3
+            THEN 'en' ELSE 'unknown' END AS pred_lang,
+       lang
+FROM documents
+"""
+
+
+def q_title_rules(spark, sf_dir):
+    """F5/F6 analog on documents.text: strip a leading 'the ' once
+    (anchored replace-first), drop docs containing both 'slow' and
+    'fast' (conjunctive ad filter F11)."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(F.regexp_replace("text", "^the ", ""))
+    kept = docs.filter(
+        ~(F.col("text").contains("slow") & F.col("text").contains("fast"))
+    )
+    return kept.select("doc_id", F.substring(cleaned, 1, 30).alias("head"))
+
+
+SQL_TITLE_RULES = """
+SELECT doc_id, substr(trim(regexp_replace(text, '^the ', '')), 1, 30) AS head
+FROM documents
+WHERE NOT (text LIKE '%slow%' AND text LIKE '%fast%')
+"""
+
+
+# ------------------------------------------------------- url/string/scalar
+
+
+def q_url_kernel(spark, sf_dir):
+    """X2/X3 analog: build a synthetic image URL per doc, extract the
+    3rd path segment (signature) and the wx_fmt query param with a
+    default — regexp on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://mmbiz.qpic.cn/mmbiz/SIG"),
+        F.col("doc_id").cast("string"),
+        F.lit("/640"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?wx_fmt="), F.col("lang"))).otherwise(
+            F.lit("")
+        ),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    sig = F.regexp_extract("url", r"^[a-z]+://[^/]+/([^/]+)/([^/?]+)", 2)
+    fmt = F.when(
+        F.regexp_extract("url", r"[?&]wx_fmt=([^&]+)", 1) != "",
+        F.regexp_extract("url", r"[?&]wx_fmt=([^&]+)", 1),
+    ).otherwise("jpg")
+    return d.select("doc_id", "url", sig.alias("sig"), fmt.alias("fmt"))
+
+
+SQL_URL_KERNEL = """
+WITH d AS (
+  SELECT doc_id,
+         'http://mmbiz.qpic.cn/mmbiz/SIG' || CAST(doc_id AS VARCHAR) || '/640'
+         || CASE WHEN doc_id % 3 = 0 THEN '?wx_fmt=' || lang ELSE '' END AS url
+  FROM documents)
+SELECT doc_id, url,
+       regexp_extract(url, '^[a-z]+://[^/]+/([^/]+)/([^/?]+)', 2) AS sig,
+       CASE WHEN regexp_extract(url, '[?&]wx_fmt=([^&]+)', 1) <> ''
+            THEN regexp_extract(url, '[?&]wx_fmt=([^&]+)', 1) ELSE 'jpg' END AS fmt
+FROM d
+"""
+
+
+def q_pagination_gen(spark, sf_dir):
+    """X5 analog: explode sequence(1, n) -> page URLs, n from the row;
+    range EXCLUDES the bound like chuansongmen.py:65."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    mp = (F.col("o_orderkey") % 4 + 2).cast("int")
+    pages = orders.select(
+        "o_orderkey", F.explode(F.sequence(F.lit(1), mp - 1)).alias("pg")
+    )
+    return pages.select(
+        "o_orderkey",
+        "pg",
+        F.concat(
+            F.lit("http://s/account/"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("?start="),
+            ((F.col("pg") - 1) * 12).cast("string"),
+        ).alias("page_url"),
+    )
+
+
+SQL_PAGINATION_GEN = """
+SELECT o_orderkey, pg,
+       'http://s/account/' || CAST(o_orderkey AS VARCHAR) || '?start=' || CAST((pg - 1) * 12 AS VARCHAR) AS page_url
+FROM orders, unnest(generate_series(1, CAST(o_orderkey % 4 + 2 AS INT) - 1)) AS t(pg)
+WHERE o_orderkey <= 200
+"""
+
+
+def q_blacklist_filter(spark, sf_dir):
+    """F3 analog: drop blacklisted segments (broadcast isin), count
+    survivors per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.filter(~F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("bal"))
+    )
+
+
+SQL_BLACKLIST_FILTER = """
+SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS bal
+FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY c_nationkey
+"""
+
+
+def q_small_threshold(spark, sf_dir):
+    """F16 analog: inclusive <= 2800 size classification."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("small", F.col("n_chars") <= 2800)
+        .groupBy("source", "small")
+        .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+SQL_SMALL_THRESHOLD = """
+SELECT source, n_chars <= 2800 AS small, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- joins / aggregations
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Aggregation flagship (TPC-H Q1 shape): wide agg after a pushed
+    filter — WholeStageCodegen end to end."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join_revenue(spark, sf_dir):
+    """Star join: revenue per nation (broadcast dims, shuffle fact).
+    nation/region are broadcast; at 100TB orders buckets by custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_STAR_JOIN_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_salted_skew_agg(spark, sf_dir):
+    """Two-stage salted aggregation for skewed keys (north_rule skew
+    handling as a query): partial sums per (key, salt) then re-agg —
+    result equals the plain groupBy; the shape is what survives a
+    hot-key 100x scale-up."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.sum("value").alias("pv"), F.count("*").alias("pc")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("pv"), 4).alias("total_value"),
+        F.sum("pc").alias("n"),
+    )
+
+
+SQL_SALTED_SKEW_AGG = """
+SELECT event_type, round(sum(value), 4) AS total_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_last_element(spark, sf_dir):
+    """A4 analog: element_at(arr, -1) — last word of each doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.element_at(F.split("text", " "), -1).alias("last_word")
+    )
+
+
+SQL_LAST_ELEMENT = """
+SELECT doc_id, string_split(text, ' ')[-1] AS last_word FROM documents
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "frontier_schedule": q_frontier_schedule,
+    "politeness_topk": q_politeness_topk,
+    "first_occurrence": q_first_occurrence,
+    "sessionize": q_sessionize,
+    "hourly_window_agg": q_hourly_window_agg,
+    "anti_join_dedup": q_anti_join_dedup,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_near_dup": q_minhash_near_dup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_dedup": q_simhash_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
+    "token_quality": q_token_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "title_rules": q_title_rules,
+    "url_kernel": q_url_kernel,
+    "pagination_gen": q_pagination_gen,
+    "blacklist_filter": q_blacklist_filter,
+    "small_threshold": q_small_threshold,
+    "tpch_q1": q_tpch_q1,
+    "star_join_revenue": q_star_join_revenue,
+    "salted_skew_agg": q_salted_skew_agg,
+    "last_element": q_last_element,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+    "politeness_topk": SQL_POLITENESS_TOPK,
+    "first_occurrence": SQL_FIRST_OCCURRENCE,
+    "sessionize": SQL_SESSIONIZE,
+    "hourly_window_agg": SQL_HOURLY_WINDOW_AGG,
+    "anti_join_dedup": SQL_ANTI_JOIN_DEDUP,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "simhash_dedup": SQL_SIMHASH_DEDUP,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "lsh_bucket_stats": SQL_LSH_BUCKET_STATS,
+    "token_quality": SQL_TOKEN_QUALITY,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
+    "title_rules": SQL_TITLE_RULES,
+    "url_kernel": SQL_URL_KERNEL,
+    "pagination_gen": SQL_PAGINATION_GEN,
+    "blacklist_filter": SQL_BLACKLIST_FILTER,
+    "small_threshold": SQL_SMALL_THRESHOLD,
+    "tpch_q1": SQL_TPCH_Q1,
+    "star_join_revenue": SQL_STAR_JOIN_REVENUE,
+    "salted_skew_agg": SQL_SALTED_SKEW_AGG,
+    "last_element": SQL_LAST_ELEMENT,
+}

@@ -1,0 +1,98 @@
+"""Structured Streaming front door for the frontier (SURVEY §1.3 note).
+
+The reference is restart-resume batch (O10-O11) — no true streaming
+exists in it — but a production frontier usually arrives as a stream
+of discovered URLs. This module gives the engine that front door:
+
+- ``frontier_stream``: readStream over a parquet drop-directory of
+  frontier rows (swap format for kafka in production; schema is the
+  crawl plan's FRONTIER_SCHEMA).
+- ``streaming_enrich``: the same canonicalize/hash/bucket enrichment
+  as the batch round (stateless, streaming-safe).
+- ``run_micro_batches``: foreachBatch loop feeding each micro-batch
+  through the batch dedup + schedule operators so streaming and batch
+  share one code path (the recommended Spark pattern for exactly-once
+  sinks with existing batch logic).
+- ``windowed_discovery_metrics``: watermarked per-host tumbling-window
+  discovery counts (the streaming analog of the A6 metrics table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import bucket_col
+from ..functions.urls import host_col
+from ..parse.udfs import canonicalize_urls_udf
+from ..plans.crawl import FRONTIER_SCHEMA
+
+# streamed frontier rows additionally carry their discovery time
+STREAM_SCHEMA = T.StructType(
+    FRONTIER_SCHEMA.fields + [T.StructField("discovered_at", T.TimestampType())]
+)
+
+
+def frontier_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Stream of frontier rows from a drop directory (one file per
+    producer flush). maxFilesPerTrigger bounds micro-batch size so a
+    backlog never produces an unboundedly large batch."""
+    return (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(drop_dir)
+    )
+
+
+def streaming_enrich(stream: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Stateless enrichment — identical semantics to the batch round's
+    _enrich (url-keyed; streaming rows carry no weixin titles)."""
+    f = stream.withColumn("canon_url", canonicalize_urls_udf("url"))
+    f = f.withColumn("dedup_key", F.col("canon_url"))
+    f = f.withColumn("key_hash", F.xxhash64("dedup_key"))
+    f = f.withColumn("bucket", bucket_col(F.col("key_hash"), n_buckets))
+    return f.withColumn("host", host_col(F.col("url")))
+
+
+def windowed_discovery_metrics(
+    stream: DataFrame, ts_col: str = "discovered_at", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window per-host discovery counts — late
+    rows beyond the watermark are dropped, state is bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "5 minutes"), "host")
+        .agg(F.count("*").alias("n_urls"), F.approx_count_distinct("dedup_key").alias("n_unique"))
+    )
+
+
+def run_micro_batches(
+    enriched: DataFrame,
+    seen: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_salts: int = 8,
+):
+    """foreachBatch bridge: each micro-batch goes through the SAME
+    batch operators (first-occurrence dedup -> seen anti-join ->
+    priority schedule) and appends its fetch plan — one code path for
+    batch and streaming, exactly-once via the streaming checkpoint."""
+    from ..operators.dedup import batch_first_occurrence, dedup_against_seen
+    from ..operators.scheduler import PRIORITY_COLS, schedule
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cand = batch_first_occurrence(
+            batch_df, "key_hash", ["source"] + PRIORITY_COLS[1:]
+        )
+        new = dedup_against_seen(cand, seen, None)
+        plan = schedule(new, n_salts=n_salts)
+        plan.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    return (
+        enriched.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

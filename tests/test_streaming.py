@@ -1,0 +1,79 @@
+"""Structured Streaming front door: micro-batched frontier scheduling
+through the SAME batch operators (foreachBatch), and watermarked
+windowed discovery metrics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from python_crawler_spark.streaming.frontier_stream import (
+    STREAM_SCHEMA,
+    frontier_stream,
+    run_micro_batches,
+    streaming_enrich,
+    windowed_discovery_metrics,
+)
+
+
+def _rows(n, t0):
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                # i and i+20 produce the same URL -> exact duplicates
+                f"http://h{i % 5}.example.com/n/{i % 20}",
+                "chuansongmen", "acct", i % 3, i % 3, 2, 0, i, 0, 1,
+                "", "", "", 3.0,
+                t0 + dt.timedelta(minutes=i % 7),
+            )
+        )
+    return out
+
+
+def test_streaming_schedule_foreachbatch(spark, tmp_path):
+    drop = tmp_path / "drop"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(_rows(40, t0), STREAM_SCHEMA).write.parquet(str(drop))
+
+    stream = frontier_stream(spark, str(drop))
+    assert stream.isStreaming
+    enriched = streaming_enrich(stream, n_buckets=8)
+    seen = spark.createDataFrame(
+        [], "bucket int, key_hash long, dedup_key string, url string, round int"
+    )
+    q = run_micro_batches(enriched, seen, str(out), str(ckpt)).start()
+    q.awaitTermination(120)
+
+    plan = spark.read.parquet(str(out))
+    # 40 rows, each url duplicated -> 20 scheduled, first occurrence won
+    assert plan.count() == 20
+    assert plan.filter(F.col("host_rank").isNull()).count() == 0
+    # restart with no new files: exactly-once, nothing re-emitted
+    q2 = run_micro_batches(enriched, seen, str(out), str(ckpt)).start()
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() == 20
+
+
+def test_windowed_discovery_metrics(spark, tmp_path):
+    drop = tmp_path / "drop2"
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(_rows(30, t0), STREAM_SCHEMA).write.parquet(str(drop))
+    stream = streaming_enrich(frontier_stream(spark, str(drop)), n_buckets=8)
+    agg = windowed_discovery_metrics(stream, "discovered_at", "10 minutes")
+    # complete mode: availableNow ends before the watermark passes the
+    # last window, so append would hold those rows back
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("disc_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from disc_metrics").collect()
+    assert sum(r["n_urls"] for r in rows) == 30
+    assert all(r["n_unique"] > 0 for r in rows)
