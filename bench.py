@@ -40,15 +40,20 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="pcs-bench", parallelism=cpus, shuffle_partitions=cpus)
 
+    def run_full(df) -> None:
+        # noop sink forces every output column; a count() action would
+        # let Catalyst prune window/projection stages out of the plan
+        df.write.format("noop").mode("overwrite").save()
+
     # warm the JVM/Arrow/codegen paths once so numbers measure the
     # operators, not session startup or whole-stage-codegen JIT
-    QUERIES["tpch_q1"](spark, sf_dir).count()
+    run_full(QUERIES["tpch_q1"](spark, sf_dir))
     run_schedule_pipeline(spark, 500_000)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+        run_full(QUERIES[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
 
     fdt, fn, fsched = run_schedule_pipeline(spark, FRONTIER_N)

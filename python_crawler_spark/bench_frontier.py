@@ -124,9 +124,21 @@ def timed_schedule(
     new = dedup_against_seen(
         f, seen, filters, seen_unique=True, filters_total_bytes=filters_bytes
     )
+    # Materialize the deduped frontier ONCE: this is the round's
+    # surviving-candidate set (written as frontier state in production
+    # anyway). Without it, repartitionByRange's range-bounds sampling
+    # job would re-execute the whole canonicalize+dedup chain a second
+    # time before the real shuffle does it again.
+    new = new.localCheckpoint(eager=True)
     plan = schedule(new, n_salts=n_salts, n_range_partitions=n_range_partitions)
-    scheduled = plan.count()  # one action drives the whole pipeline
+    # Force EVERY schedule column with a noop sink. (A count() action
+    # lets Catalyst prune the window operators entirely — the plan for
+    # count(plan) contains no Window nodes — so counting would time a
+    # pipeline that never computes ref_seq/host_scheduled_at at all.)
+    plan.write.format("noop").mode("overwrite").save()
+    scheduled = new.count()  # reads the localCheckpoint: no recompute
     dt = time.time() - t0
+    new.unpersist()
     spark.catalog.clearCache()  # drop the rank/prefix-sum stage cache
     return dt, scheduled
 

@@ -702,6 +702,242 @@ SELECT doc_id, string_split(text, ' ')[-1] AS last_word FROM documents
 """
 
 
+def q_json_props_extract(spark, sf_dir):
+    """X9 analog (weixin_public.py:331-332 JSON field extract): pull
+    the integer k out of the props JSON per event, average per type.
+    get_json_object stays JVM-side (Jackson path eval, codegen)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_JSON_PROPS_EXTRACT = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_rollup_metrics(spark, sf_dir):
+    """A6/K7 analog: per-round crawl metrics as a ROLLUP over
+    (event_type, host-bucket) — subtotal rows are what the metrics
+    table reports per round and per bucket (grouping-sets coverage)."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.concat(F.lit("b"), (F.col("user_id") % 10).cast("string"))
+    return (
+        ev.select("event_type", b.alias("bucket"), "value")
+        .rollup("event_type", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+    )
+
+
+SQL_ROLLUP_METRICS = """
+SELECT event_type, 'b' || CAST(user_id % 10 AS VARCHAR) AS bucket,
+       count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY ROLLUP(event_type, bucket)
+"""
+
+
+def q_transpose_zip(spark, sf_dir):
+    """D12 analog (tianyan_extractor.py:133-157 staff-table transpose):
+    zip two parallel rows (here: words 1-5 as names, words 6-10 as
+    titles) pairwise; docs shorter than 10 words bail out exactly like
+    the reference's unequal-row-length guard."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    d = docs.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 10)
+    z = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ws", 1, 5).alias("nm"), F.slice("ws", 6, 5).alias("ti")
+            )
+        ).alias("p"),
+    )
+    return z.select("doc_id", F.col("p.nm").alias("nm"), F.col("p.ti").alias("ti"))
+
+
+SQL_TRANSPOSE_ZIP = """
+SELECT doc_id,
+       unnest(list_slice(ws, 1, 5)) AS nm,
+       unnest(list_slice(ws, 6, 10)) AS ti
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+WHERE len(ws) >= 10
+"""
+
+
+def q_suffix_edit(spark, sf_dir):
+    """X8 analog (weixin_public.py:339-343): insert '_L' before the
+    extension unless the item is small (n_chars <= 2800, F16)."""
+    docs = _t(spark, sf_dir, "documents")
+    fname = F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    big = F.regexp_replace(fname, r"\.([^.]+)$", r"_L.$1")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") <= 2800, fname).otherwise(big).alias("fname"),
+    )
+
+
+SQL_SUFFIX_EDIT = r"""
+SELECT doc_id,
+       CASE WHEN n_chars <= 2800
+            THEN 'doc' || CAST(doc_id AS VARCHAR) || '.txt'
+            ELSE regexp_replace('doc' || CAST(doc_id AS VARCHAR) || '.txt', '\.([^.]+)$', '_L.\1')
+       END AS fname
+FROM documents
+"""
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-style ANN (similarity-search scale path): vectors with
+    vec_id 1..4 act as coarse centroids; every vector is assigned to
+    its nearest centroid (argmax cosine); the query (vec_id=0) probes
+    ONLY its own cluster and returns the top-5. At 10^10 vectors the
+    centroid pass is a broadcast cross join + argmax (no shuffle of
+    the big side) and the probe prunes to one cluster's partitions —
+    same plan shape as here."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    def nrm(a):
+        return F.expr(
+            f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+
+    cents = emb.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (dot("embedding", "cv") / (nrm("embedding") * nrm("cv"))).alias("csim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    q = assign.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("cid").alias("qcid")
+    )
+    probe = (
+        assign.join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot("embedding", "qv") / (nrm("embedding") * nrm("qv")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    return probe.orderBy(F.desc("cosine"), "vec_id").limit(5)
+
+
+SQL_IVF_ANN = """
+WITH pairs AS (
+  SELECT e.vec_id, c.vec_id AS cid,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings e JOIN embeddings c ON c.vec_id BETWEEN 1 AND 4
+), csims AS (
+  SELECT vec_id, cid,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS csim
+  FROM pairs GROUP BY vec_id, cid
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM csims) WHERE rk = 1
+), qrow AS (
+  SELECT cid AS qcid FROM assign WHERE vec_id = 0
+), qpairs AS (
+  SELECT a.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.embedding) AS DOUBLE) AS y
+  FROM assign a
+  JOIN qrow ON a.cid = qrow.qcid
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = 0
+  WHERE a.vec_id <> 0
+)
+SELECT vec_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM qpairs GROUP BY vec_id
+ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+def q_phash_hamming(spark, sf_dir):
+    """Image near-dup analog (input_hint phash column): 32-bit
+    signature per doc, pairs within the same source at Hamming
+    distance <= 12. At corpus scale the pair space is banded by the
+    signature's high byte (the join key below includes it), so no
+    all-pairs blowup — the same band-join LSH shape as MinHash."""
+    docs = _t(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    d = docs.select("doc_id", "source", ph.alias("ph"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    ham = F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
+    return pairs.select(
+        F.col("a.source").alias("source"),
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        ham.alias("hamming"),
+    ).filter(F.col("hamming") <= 12)
+
+
+SQL_PHASH_HAMMING = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS ph
+  FROM documents)
+SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+       bit_count(xor(a.ph, b.ph)) AS hamming
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 12
+"""
+
+
+def q_token_bpe_count(spark, sf_dir):
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation) — the tokenizer-budget statistic a training
+    pipeline computes per document, aggregated per source."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+    return docs.groupBy("source").agg(
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+    )
+
+
+SQL_TOKEN_BPE_COUNT = """
+SELECT source,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_tokens,
+       round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -729,6 +965,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_join_revenue": q_star_join_revenue,
     "salted_skew_agg": q_salted_skew_agg,
     "last_element": q_last_element,
+    "json_props_extract": q_json_props_extract,
+    "rollup_metrics": q_rollup_metrics,
+    "transpose_zip": q_transpose_zip,
+    "suffix_edit": q_suffix_edit,
+    "ivf_ann": q_ivf_ann,
+    "phash_hamming": q_phash_hamming,
+    "token_bpe_count": q_token_bpe_count,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -756,4 +999,11 @@ ORACLE_SQL: dict[str, str] = {
     "star_join_revenue": SQL_STAR_JOIN_REVENUE,
     "salted_skew_agg": SQL_SALTED_SKEW_AGG,
     "last_element": SQL_LAST_ELEMENT,
+    "json_props_extract": SQL_JSON_PROPS_EXTRACT,
+    "rollup_metrics": SQL_ROLLUP_METRICS,
+    "transpose_zip": SQL_TRANSPOSE_ZIP,
+    "suffix_edit": SQL_SUFFIX_EDIT,
+    "ivf_ann": SQL_IVF_ANN,
+    "phash_hamming": SQL_PHASH_HAMMING,
+    "token_bpe_count": SQL_TOKEN_BPE_COUNT,
 }
