@@ -61,7 +61,7 @@ def run_level(cores: int, n: int, reps: int) -> dict:
     import os
 
     env = dict(os.environ)
-    env["SPARK_DRIVER_MEMORY"] = "24g"
+    env["SPARK_DRIVER_MEMORY"] = "48g"
     env["PYSPARK_PYTHON"] = sys.executable
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(n), str(reps)],
