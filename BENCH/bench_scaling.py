@@ -36,15 +36,17 @@ cores, n, reps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 # ActiveProcessorCount pins the JVM's visible CPUs to the emulated
 # cluster size: otherwise a local[N] JVM still sizes GC/netty/shuffle
 # pools for all host cores and the N-core baseline is unfairly fast.
+# shuffle partitions = 3x cores smooths reducer skew tails (AQE
+# coalesces any that end up small).
 spark = get_spark(app_name=f"scale-{{cores}}", parallelism=cores,
-                  shuffle_partitions=cores,
+                  shuffle_partitions=cores * 3,
                   extra_conf={{"spark.driver.extraJavaOptions":
                                f"-XX:ActiveProcessorCount={{cores}}"}})
 # frontier + seen set + bloom filters are state maintained across
 # rounds, materialized once; each rep times only the scheduling work
 state = prepare_state(spark, n)
-timed_schedule(spark, state)  # warm-up: JIT + Arrow workers
-timed_schedule(spark, state)
+for _ in range(3):  # warm-up: JIT tiers + Arrow workers + page cache
+    timed_schedule(spark, state)
 times = []
 sched = 0
 for _ in range(reps):
@@ -78,8 +80,11 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     hi = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    import time as _time
+
     res = {}
     for cores in (lo, hi):
+        _time.sleep(15)  # let the previous JVM's teardown/page reclaim finish
         r = run_level(cores, n, reps)
         dt = statistics.median(r["times"])
         res[cores] = {"median_sec": dt, "times": r["times"],

@@ -77,7 +77,7 @@ def global_rank_and_cumsum(
     no single-partition shuffle at any scale.
     """
     part = [partition_col] if partition_col else []
-    range_cols = [F.col(c) for c in part + order_cols]
+    range_cols = [F.col(c) for c in part + [c for c in order_cols if c not in part]]
     dfp = df.repartitionByRange(n_range_partitions, *range_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -133,17 +133,26 @@ def schedule(frontier: DataFrame, n_salts: int = 8, n_range_partitions: int = 32
     sequential replay is (source_rank, ref_seq).
     """
     f = with_priority(frontier)
+    # partition/order by the INT source_rank, not the source string:
+    # the rank is 1:1 with the source, and every shuffle-sort comparator
+    # runs millions of times — integer compares, not UTF-8 compares.
     f = global_rank_and_cumsum(
         f,
         PRIORITY_COLS,
         "crawl_delay",
-        partition_col="source",
+        partition_col="source_rank",
         n_range_partitions=n_range_partitions,
         rank_name="ref_seq",
         cumsum_name="ref_virtual_ts",
     )
     f = f.withColumn("host_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int"))
-    w_host = Window.partitionBy("host", "host_salt").orderBy(
+    # same trick for the politeness queues: group by xxhash64(host)
+    # (8-byte sort prefix) instead of the host string; the host column
+    # itself is untouched in the output. A 64-bit collision would merge
+    # two hosts' queues — at web scale (~10^9 hosts) the chance is
+    # ~10^18/2^65 ≈ 3e-2ppm; politeness only gets (harmlessly) stricter.
+    f = f.withColumn("_host_key", F.xxhash64("host"))
+    w_host = Window.partitionBy("_host_key", "host_salt").orderBy(
         *[F.col(c) for c in PRIORITY_COLS]
     )
     f = f.withColumn("host_rank", F.row_number().over(w_host)).withColumn(
@@ -153,4 +162,4 @@ def schedule(frontier: DataFrame, n_salts: int = 8, n_range_partitions: int = 32
             F.lit(0.0),
         ),
     )
-    return f
+    return f.drop("_host_key")
