@@ -67,7 +67,7 @@ def run_level(cores: int, n: int, reps: int) -> dict:
     env["PYSPARK_PYTHON"] = sys.executable
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(n), str(reps)],
-        capture_output=True, text=True, timeout=1800, env=env,
+        capture_output=True, text=True, timeout=7200, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -918,6 +918,118 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 12
 """
 
 
+def q_embed_cosine_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs from the sign-LSH
+    bucket (first 8 dims), exact cosine on candidates only, pairs with
+    cosine >= 0.3 (the synthetic embeddings are random 64-dim;
+    real near-dup corpora use ~0.95). The all-pairs space never materializes — the
+    bucket equi-join prunes it (same band-join shape as MinHash); at
+    corpus scale the bucket width tunes the candidate volume."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sig = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) > 0, "1").otherwise("0")
+            for i in range(8)
+        ]
+    )
+    d = emb.select("vec_id", "embedding", sig.alias("bkt"))
+    a, b = d.alias("a"), d.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm_a = F.expr(
+        "sqrt(aggregate(a.embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nrm_b = F.expr(
+        "sqrt(aggregate(b.embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.round(dot / (nrm_a * nrm_b), 4).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.3)
+
+
+_SIG_SQL = " || ".join(
+    f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END" for i in range(8)
+)
+SQL_EMBED_COSINE_DEDUP = f"""
+WITH d AS (
+  SELECT vec_id, embedding, {_SIG_SQL} AS bkt FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM d a JOIN d b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+)
+SELECT va, vb,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM cand GROUP BY va, vb
+HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) >= 0.3
+"""
+
+
+def q_streaming_fetch_plan(spark, sf_dir):
+    """Structured Streaming end-to-end (non-SQL-expressible, rows-only
+    driver check): events rows become a frontier drop-dir stream; the
+    foreachBatch bridge runs each micro-batch through the SAME batch
+    operators (first-occurrence dedup -> seen anti-join -> priority
+    schedule) with exactly-once checkpointing; returns the appended
+    fetch plan. Deterministic: same input -> same plan rows."""
+    import tempfile
+
+    from python_crawler_spark.streaming.frontier_stream import (
+        STREAM_SCHEMA,
+        frontier_stream,
+        run_micro_batches,
+        streaming_enrich,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    rows = ev.select(
+        F.concat(
+            F.lit("http://h"), (F.col("user_id") % 50).cast("string"),
+            F.lit(".example.com/n/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.lit("chuansongmen").alias("source"),
+        F.lit("stream").alias("name"),
+        F.col("user_id").cast("int").alias("seed_id"),
+        F.col("user_id").cast("int").alias("line_no"),
+        F.lit(2).alias("stage"),
+        F.lit(0).alias("page_no"),
+        (F.col("event_id") % 100).cast("int").alias("link_idx"),
+        F.lit(0).alias("attempt"),
+        F.lit(1).alias("depth"),
+        F.lit("").alias("title"),
+        F.lit("").alias("summary"),
+        F.lit("").alias("cover"),
+        F.lit(3.0).alias("crawl_delay"),
+        F.col("ts").alias("discovered_at"),
+    )
+    base = tempfile.mkdtemp(prefix="pcs_stream_")
+    drop, out, ckpt = f"{base}/drop", f"{base}/out", f"{base}/ckpt"
+    rows.repartition(4).write.mode("overwrite").parquet(drop)
+    seen = spark.createDataFrame([], "key_hash long")
+    stream = frontier_stream(spark, drop)
+    enriched = streaming_enrich(stream.select(*[f.name for f in STREAM_SCHEMA.fields]))
+    q = run_micro_batches(enriched, seen, out, ckpt).start()
+    q.awaitTermination()
+    plan = spark.read.parquet(out)
+    return plan.select(
+        "url", "key_hash", "host", "ref_seq",
+        F.round("ref_virtual_ts", 3).alias("ref_virtual_ts"),
+        "host_rank",
+    ).orderBy("ref_seq")
+
+
 def q_token_bpe_count(spark, sf_dir):
     """Token counting with a BPE-ish regex (letter runs / digit runs /
     single punctuation) — the tokenizer-budget statistic a training
@@ -972,6 +1084,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann": q_ivf_ann,
     "phash_hamming": q_phash_hamming,
     "token_bpe_count": q_token_bpe_count,
+    "embed_cosine_dedup": q_embed_cosine_dedup,
+    # non-SQL-expressible (Structured Streaming) -> rows-only check
+    "streaming_fetch_plan": q_streaming_fetch_plan,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1006,4 +1121,5 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_ann": SQL_IVF_ANN,
     "phash_hamming": SQL_PHASH_HAMMING,
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,
+    "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
 }

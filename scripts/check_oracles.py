@@ -45,6 +45,11 @@ def main(only: list[str] | None = None):
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        if name not in ORACLE_SQL:
+            # non-SQL-expressible (driver runs a rows-only check)
+            n = fn(spark, SF_DIR).count()
+            print(f"ROWS {name} ({n} rows, no SQL oracle)")
+            continue
         try:
             got = normalize(fn(spark, SF_DIR).toPandas())
             want = normalize(con.execute(ORACLE_SQL[name]).df())
