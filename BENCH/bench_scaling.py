@@ -61,12 +61,27 @@ spark.stop()
 def run_level(cores: int, n: int, reps: int) -> dict:
     code = CHILD.format(repo=str(REPO))
     import os
+    import shutil
 
     env = dict(os.environ)
-    env["SPARK_DRIVER_MEMORY"] = "48g"
+    # Heap PROPORTIONAL to the emulated cluster size (3 GB/core): a 4N
+    # cluster has 4x the total memory of an N cluster. Giving both
+    # levels the same 48 g heap (round 1) handed the small level 4x the
+    # memory-per-core — and 2-core runs then paid huge GC pauses with 2
+    # GC threads on a 48 g heap, inflating the pair's efficiency.
+    per_core_g = int(os.environ.get("SCALE_HEAP_PER_CORE_G", "3"))
+    env["SPARK_DRIVER_MEMORY"] = f"{per_core_g * cores}g"
     env["PYSPARK_PYTHON"] = sys.executable
+    cmd = [sys.executable, "-c", code, str(cores), str(n), str(reps)]
+    # cpuset-bind the whole process tree (JVM + forked pyspark.daemon
+    # Python workers) to exactly `cores` CPUs: ActiveProcessorCount
+    # only sizes JVM thread pools — the OS would still schedule GC
+    # threads and Arrow UDF workers onto idle host cores, letting the
+    # "N-core" baseline quietly use more than N cores.
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n), str(reps)],
+        cmd,
         capture_output=True, text=True, timeout=7200, env=env,
     )
     for line in out.stdout.splitlines():

@@ -33,6 +33,22 @@ from .plans.crawl import crawl_delay_col
 N_BUCKETS = 64
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of all RDDs currently holding persisted/checkpointed blocks
+    (JVM-side; includes localCheckpoint blocks that the catalog
+    CacheManager does not track)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def _unpersist_rdds(spark: SparkSession, ids: set[int]) -> None:
+    """Free the blocks of the given persisted RDD ids (non-blocking)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in jmap.keySet().toArray():
+        if int(rid) in ids:
+            jmap.get(rid).unpersist(False)
+
+
 def synthetic_frontier(spark: SparkSession, n: int, dup_frac: float = 0.1) -> DataFrame:
     """N frontier rows, generated on executors. ~dup_frac of rows are
     exact duplicates (same URL twice) to exercise batch dedup; hosts
@@ -129,6 +145,7 @@ def timed_schedule(
     # anyway). Without it, repartitionByRange's range-bounds sampling
     # job would re-execute the whole canonicalize+dedup chain a second
     # time before the real shuffle does it again.
+    pre_ckpt_ids = _persistent_rdd_ids(spark)
     new = new.localCheckpoint(eager=True)
     plan = schedule(new, n_salts=n_salts, n_range_partitions=n_range_partitions)
     # Force EVERY schedule column with a noop sink. (A count() action
@@ -138,7 +155,13 @@ def timed_schedule(
     plan.write.format("noop").mode("overwrite").save()
     scheduled = new.count()  # reads the localCheckpoint: no recompute
     dt = time.time() - t0
-    new.unpersist()
+    # localCheckpoint blocks live at the RDD level, OUTSIDE the catalog
+    # CacheManager — neither DataFrame.unpersist() nor clearCache()
+    # frees them, so repeated timed reps would accumulate ~0.85*N-row
+    # checkpoint blocks until the ContextCleaner catches up, skewing
+    # the very timings being measured. Unpersist exactly the RDDs this
+    # rep checkpointed (never the long-lived seen/filters state).
+    _unpersist_rdds(spark, _persistent_rdd_ids(spark) - pre_ckpt_ids)
     spark.catalog.clearCache()  # drop the rank/prefix-sum stage cache
     return dt, scheduled
 

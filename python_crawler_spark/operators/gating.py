@@ -46,11 +46,13 @@ def gen_rules() -> list[dict]:
     # robots: NEW vs reference (SURVEY J8) — deny a deterministic slice
     # of article paths on the hot host; the oracle applies the same rule.
     rules.append(dict(kind="robots", key="chuansong.me", pattern=r"^/n/\d*13$", action="deny"))
-    # trim rules (D6): data-driven marker replaces the 11-branch chain.
-    rules += [
-        dict(kind="trim", key=name, pattern=f"<p>【END】{name}</p>", action="strip_after")
-        for name in worldgen.WEIXIN_SEEDS
-    ]
+    # trim rules (D6): data-driven marker rows replace the reference's
+    # 11-branch chain; each account gets one of the five marker shapes
+    # (literal / last-hr / ▼ / backward first-hr / last-section,
+    # worldgen.TRIM_SHAPES) mirroring weixin_public.py:374-501.
+    for name in worldgen.WEIXIN_SEEDS:
+        pattern, action = worldgen.trim_rule_for(name)
+        rules.append(dict(kind="trim", key=name, pattern=pattern, action=action))
     return rules
 
 

@@ -50,7 +50,15 @@ def with_priority(frontier: DataFrame) -> DataFrame:
     rank = F.create_map(
         *[x for s, r in SOURCE_RANK.items() for x in (F.lit(s), F.lit(r))]
     )
-    return frontier.withColumn("source_rank", rank[F.col("source")].cast("int"))
+    # Unknown sources must NOT collapse to NULL: a NULL rank would merge
+    # them into one range-partition group whose offsets join misses
+    # (NULL != NULL), duplicating ref_seq. Unmapped sources get a
+    # sentinel rank after all known ones; ties broken by the rest of
+    # the priority tuple.
+    return frontier.withColumn(
+        "source_rank",
+        F.coalesce(rank[F.col("source")], F.lit(len(SOURCE_RANK))).cast("int"),
+    )
 
 
 def global_rank_and_cumsum(

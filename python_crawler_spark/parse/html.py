@@ -296,17 +296,60 @@ def tiny_html(html: str) -> str:
     return re.sub(r"<[^>]+>", rewrite, html or "")
 
 
+def _marker_span(html: str, spec: str) -> tuple[int, int] | None:
+    """Locate a trim marker. Spec grammar (rules.pattern for
+    kind='trim'):
+
+      lit:<text>        first occurrence of the literal text
+      tag-first:<tag>   first <tag> element (full element span when the
+                        tag is paired, the void tag otherwise)
+      tag-last:<tag>    last <tag> element
+
+    A bare string (no recognized prefix) is treated as a literal for
+    back-compat. Returns (start, end) byte offsets or None. Paired-tag
+    spans are matched non-greedily — nested same-name tags are out of
+    scope (the reference's marker elements are flat)."""
+    kind, _, arg = spec.partition(":")
+    if kind == "lit":
+        i = html.find(arg)
+        return (i, i + len(arg)) if i >= 0 else None
+    if kind in ("tag-first", "tag-last"):
+        tag = re.escape(arg)
+        pat = re.compile(rf"<{tag}\b[^>]*>(?:.*?</{tag}\s*>)?", re.I | re.S)
+        if kind == "tag-first":
+            m = pat.search(html)
+            return m.span() if m else None
+        last = None
+        for m in pat.finditer(html):
+            last = m
+        return last.span() if last else None
+    i = html.find(spec)
+    return (i, i + len(spec)) if i >= 0 else None
+
+
 def trim_dom(html: str, marker: str, direction: str) -> str:
-    """D6: drop everything after (or before) the first occurrence of a
-    literal marker — the data-driven replacement for the reference's
-    11-branch per-account trim chain (weixin_public.py:374-501),
-    including the previous_elements case (:439-449) via
-    direction='strip_before'."""
+    """D6: data-driven replacement for the reference's 11-branch
+    per-account trim chain (weixin_public.py:374-501). The marker is a
+    ``_marker_span`` spec; direction is one of:
+
+      strip_after   remove the marker and everything after it
+                    (span-text / 【END】 cases, weixin_public.py:381-398,
+                    431-438; next_elements + marker.extract())
+      strip_before  remove everything before the marker and the marker
+                    itself (the previous_elements backward case,
+                    weixin_public.py:439-449)
+      remove_only   remove just the marker element (the 华商韬略
+                    last-section case, weixin_public.py:404-409, which
+                    extracts the section but not its next_elements)
+    """
     if not html or not marker:
         return html or ""
-    idx = html.find(marker)
-    if idx < 0:
+    span = _marker_span(html, marker)
+    if span is None:
         return html
+    lo, hi = span
     if direction == "strip_before":
-        return html[idx + len(marker) :]
-    return html[:idx]
+        return html[hi:]
+    if direction == "remove_only":
+        return html[:lo] + html[hi:]
+    return html[:lo]

@@ -73,6 +73,10 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("summary", T.StringType()),
         T.StructField("cover", T.StringType()),
         T.StructField("crawl_delay", T.DoubleType()),
+        # S5/S7 fetch identity: what a production fetch stage acts on.
+        T.StructField("render", T.BooleanType()),
+        T.StructField("ua_id", T.IntegerType()),
+        T.StructField("proxy_id", T.IntegerType()),
     ]
 )
 
@@ -103,6 +107,30 @@ def crawl_delay_col(source, stage, url):
             ),
         )
         .otherwise(F.lit(0.0))
+    )
+
+
+def with_fetch_identity(df: DataFrame) -> DataFrame:
+    """S5/S7: attach (render, ua_id, proxy_id) fetch-identity columns,
+    JVM-side, in hash parity with worldgen.fetch_identity /
+    render_required. Retries rotate identity because the formula is
+    (stable-url-base + attempt) mod pool — the reference's
+    install_new_driver rotation (tianyan_crawler.py:145-152) as a
+    deterministic column."""
+    render = (
+        (F.col("source") == "weixin") & (F.col("stage") == STAGE_ROOT)
+    ) | (F.col("source") == "tianyan")
+
+    def rotating(tag: str, n: int):
+        base = F.xxhash64(F.concat(F.lit(tag + "\x1f"), F.col("url"))).bitwiseAND(
+            F.lit(MASK63)
+        )
+        return F.pmod(base + F.col("attempt"), F.lit(n)).cast("int")
+
+    return (
+        df.withColumn("render", render)
+        .withColumn("ua_id", rotating("ua", len(worldgen.UA_POOL)))
+        .withColumn("proxy_id", rotating("proxy", len(worldgen.PROXY_POOL)))
     )
 
 
@@ -176,7 +204,7 @@ class CrawlRun:
                 "crawl_delay"
             ),
         )
-        return root
+        return with_fetch_identity(root)
 
     def _enrich(self, frontier: DataFrame) -> DataFrame:
         """canon_url, dedup_key (title for weixin articles — the
@@ -243,8 +271,10 @@ class CrawlRun:
             (F.lit("") if summary is None else summary).alias("summary"),
             (F.lit("") if cover is None else cover).alias("cover"),
         )
-        return out.withColumn(
-            "crawl_delay", crawl_delay_col(src, F.col("stage"), F.col("url"))
+        return with_fetch_identity(
+            out.withColumn(
+                "crawl_delay", crawl_delay_col(src, F.col("stage"), F.col("url"))
+            )
         )
 
     def _expand_weixin_list(self, fetched: DataFrame) -> DataFrame:
@@ -496,6 +526,7 @@ class CrawlRun:
             "url", "canon_url", "dedup_key", "key_hash", "bucket", "host",
             "source", "name", "seed_id", "line_no", "stage", "page_no",
             "link_idx", "attempt", "depth", "crawl_delay", "kind",
+            "render", "ua_id", "proxy_id",
             "host_salt", "host_rank", "host_scheduled_at",
         ]
         log = fetched.select(*log_cols).withColumn("round", F.lit(self.round))

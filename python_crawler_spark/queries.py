@@ -117,7 +117,7 @@ def q_sessionize(spark, sf_dir):
 
 
 SQL_SESSIONIZE = """
-SELECT user_id AS host, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id AS host, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
@@ -219,8 +219,10 @@ FROM sig GROUP BY mh0, mh1, mh2, mh3 HAVING count(*) > 1
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup: word-3-gram sets, pairwise Jaccard
-    within minhash candidate buckets only (never all-pairs). Emits
-    pairs with J >= 0.8."""
+    computed only within candidate buckets keyed by md5 of the exact
+    first-4-words prefix (never all-pairs; head-edited near-dups land
+    in different buckets by design — use minhash_near_dup for
+    edit-robust candidate generation). Emits pairs with J >= 0.8."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("ws"))
     grams = words.select(
@@ -288,11 +290,14 @@ def q_simhash_dedup(spark, sf_dir):
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
+    # One 60-bit hash per word, then 16 codegen-friendly bit extracts —
+    # instead of 16 separate md5/conv/substring chains per word-row.
+    words = words.withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    )
     bits = [
         F.sum(
-            F.when(
-                F.conv(F.substring(F.md5("w"), b + 1, 1), 16, 10).cast("int") % 2 == 1, 1
-            ).otherwise(-1)
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(16)
     ]
@@ -311,8 +316,7 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 _SIMHASH_BITS = ",\n         ".join(
-    "sum(CASE WHEN CAST(('0x' || substr(md5(w), %d, 1)) AS INT) %% 2 = 1 THEN 1 ELSE -1 END) AS v%d"
-    % (b + 1, b)
+    "sum(CASE WHEN (h >> %d) & 1 = 1 THEN 1 ELSE -1 END) AS v%d" % (b, b)
     for b in range(16)
 )
 _SIMHASH_CONCAT = " || ".join(
@@ -321,10 +325,13 @@ _SIMHASH_CONCAT = " || ".join(
 SQL_SIMHASH_DEDUP = f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM words WHERE w <> ''
 ), votes AS (
   SELECT doc_id,
          {_SIMHASH_BITS}
-  FROM words WHERE w <> '' GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), sig AS (
   SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM votes
 )
@@ -882,39 +889,117 @@ ORDER BY cosine DESC, vec_id LIMIT 5
 """
 
 
-def q_phash_hamming(spark, sf_dir):
-    """Image near-dup analog (input_hint phash column): 32-bit
-    signature per doc, pairs within the same source at Hamming
-    distance <= 12. At corpus scale the pair space is banded by the
-    signature's high byte (the join key below includes it), so no
-    all-pairs blowup — the same band-join LSH shape as MinHash."""
-    docs = _t(spark, sf_dir, "documents")
-    ph = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-    d = docs.select("doc_id", "source", ph.alias("ph"))
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+_PH_BITS = 60
+_PH_BANDS = 10          # bands > threshold ⇒ pigeonhole-exact recall
+_PH_BAND_BITS = _PH_BITS // _PH_BANDS
+_PH_THRESH = 9
+
+
+def _phash_signatures(docs):
+    """60-bit simhash-style perceptual signature per document (the
+    input_hint ``phash:int64`` analog: similar content ⇒ small Hamming
+    distance). One 60-bit hash per word (single md5+conv, bit-extracts
+    stay in codegen), per-bit ±1 votes aggregated per doc."""
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    words = words.withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     )
+    votes = words.groupBy("doc_id", "source").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_PH_BITS)
+        ]
+    )
+    ph = None
+    for b in range(_PH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ph = bit if ph is None else ph + bit
+    return votes.select("doc_id", "source", ph.alias("ph"))
+
+
+def q_phash_hamming(spark, sf_dir):
+    """Image near-dup analog (input_hint phash:int64 column): 60-bit
+    perceptual signature per doc, near-dup pairs within the same
+    source at Hamming distance <= 9, found via banded LSH — the
+    Manku/SimHash production design. The signature is split into 10
+    bands of 6 bits; by pigeonhole, any pair at Hamming <= 9 agrees
+    exactly on at least one band, so the band equi-join (source,
+    band_idx, band_value) has EXACT recall while never materializing
+    the all-pairs space. Candidates are confirmed with the exact
+    bit_count and deduped (a pair can share multiple bands).
+    Reference analog: pic-signature matching, weixin_public.py:66-106.
+    """
+    d = _phash_signatures(_t(spark, sf_dir, "documents"))
+    bands = d.select(
+        "doc_id",
+        "source",
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(ph, {_PH_BAND_BITS * b}) & {2 ** _PH_BAND_BITS - 1}")
+                    for b in range(_PH_BANDS)
+                ]
+            )
+        ).alias("bi", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
-    return pairs.select(
-        F.col("a.source").alias("source"),
-        F.col("a.doc_id").alias("da"),
-        F.col("b.doc_id").alias("db"),
-        ham.alias("hamming"),
-    ).filter(F.col("hamming") <= 12)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PH_THRESH)
+        .distinct()
+    )
 
 
-SQL_PHASH_HAMMING = """
-WITH d AS (
-  SELECT doc_id, source,
-         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS ph
-  FROM documents)
-SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+_PH_VOTE_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_PH_BITS)
+)
+_PH_SIG_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+    for b in range(_PH_BITS)
+)
+SQL_PHASH_HAMMING = f"""
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, source, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM words WHERE w <> ''
+), votes AS (
+  SELECT doc_id, source, {_PH_VOTE_SQL}
+  FROM hashed GROUP BY doc_id, source
+), d AS (
+  SELECT doc_id, source, {_PH_SIG_SQL} AS ph FROM votes
+), bands AS (
+  SELECT doc_id, source, ph, t.bi AS bi,
+         (ph >> ({_PH_BAND_BITS} * t.bi)) & {2 ** _PH_BAND_BITS - 1} AS bv
+  FROM d, (SELECT unnest(generate_series(0, {_PH_BANDS - 1})) AS bi) t
+)
+SELECT DISTINCT a.source AS source, a.doc_id AS da, b.doc_id AS db,
        bit_count(xor(a.ph, b.ph)) AS hamming
-FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ph, b.ph)) <= 12
+FROM bands a JOIN bands b
+  ON a.source = b.source AND a.bi = b.bi AND a.bv = b.bv
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_THRESH}
 """
 
 
@@ -1014,6 +1099,9 @@ def q_streaming_fetch_plan(spark, sf_dir):
         F.lit(3.0).alias("crawl_delay"),
         F.col("ts").alias("discovered_at"),
     )
+    from python_crawler_spark.plans.crawl import with_fetch_identity
+
+    rows = with_fetch_identity(rows).select(*[f.name for f in STREAM_SCHEMA.fields])
     base = tempfile.mkdtemp(prefix="pcs_stream_")
     drop, out, ckpt = f"{base}/drop", f"{base}/out", f"{base}/ckpt"
     rows.repartition(4).write.mode("overwrite").parquet(drop)
@@ -1044,7 +1132,7 @@ def q_token_bpe_count(spark, sf_dir):
 
 SQL_TOKEN_BPE_COUNT = """
 SELECT source,
-       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
        round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_tokens
 FROM documents GROUP BY source
 """

@@ -59,6 +59,76 @@ ANTI_BOT_TEXT = "为确认本次访问为正常用户行为"  # tianyan_crawler.
 
 N_BLACK_SIGS = 23  # weixin_public.py:66-106 blacklist size
 
+# D6 trim-marker shapes — the five distinct mechanisms of the
+# reference's per-account chain (weixin_public.py:374-501), assigned
+# per account by hash (reference: hardcoded if/elif on public_name).
+# (pattern, action) use the parse.html._marker_span spec grammar.
+TRIM_SHAPES = [
+    # span-text / 【END】 strip_after (weixin_public.py:381-398,431-438)
+    ("lit-end", "strip_after"),
+    # last <hr>, strip everything after (环球老虎财经, :421-429)
+    ("tag-last:hr", "strip_after"),
+    # literal ▼ marker, strip after (新经济100人-style ▼ branches)
+    ("lit:▼", "strip_after"),
+    # first <hr>, strip everything BEFORE it — the previous_elements
+    # backward case (扑克投资家, weixin_public.py:439-449)
+    ("tag-first:hr", "strip_before"),
+    # last <section>, extract the marker element only (华商韬略,
+    # weixin_public.py:404-409: extracts the section, keeps the rest)
+    ("tag-last:section", "remove_only"),
+]
+
+
+# S5/S7 fetch-identity pools. The reference keeps a static proxy file
+# (data/available: 14 ip:port rows) plus a live proxy API, and rotates
+# proxy + UA + referer when a fetch trips anti-bot detection
+# (tianyan_crawler.py:46-105,145-152). The pools here are synthetic
+# stand-ins of the same shape (addresses are documentation-range IPs,
+# not the reference's); identity is carried through the plan as
+# (render, ua_id, proxy_id) columns so a production fetch stage has
+# parameters to act on.
+PROXY_POOL = [f"192.0.2.{i + 1}:31{i:02d}" for i in range(14)]
+UA_POOL = [
+    "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/45.0",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 Chrome/49.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_11) Safari/601.5.17",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Edge/13.10586",
+    "Mozilla/5.0 (X11; Ubuntu; Linux i686) Gecko/20100101 Firefox/44.0",
+]
+
+
+def fetch_identity(url: str, attempt: int) -> tuple[int, int]:
+    """(ua_id, proxy_id) for a fetch. The base identity is a stable
+    hash of the URL; each retry ROTATES both (base + attempt, mod pool
+    size — guaranteed to differ from the previous attempt), mirroring
+    install_new_driver's new-proxy/new-UA behavior on anti-bot
+    (tianyan_crawler.py:145-152)."""
+    ua = (_h("ua", url) + attempt) % len(UA_POOL)
+    proxy = (_h("proxy", url) + attempt) % len(PROXY_POOL)
+    return ua, proxy
+
+
+def render_required(source: str, stage: int) -> bool:
+    """S7: which fetches the reference performs with a rendering
+    browser — weixin list pages via Firefox/Xvfb
+    (weixin_public.py:131-159), ALL tianyan fetches via PhantomJS
+    (tianyan_crawler.py:104-114); plain requests.get elsewhere."""
+    return (source == "weixin" and stage == 0) or source == "tianyan"
+
+
+def trim_shape(account: str) -> int:
+    return _h("trim-shape", account) % len(TRIM_SHAPES)
+
+
+def trim_rule_for(account: str) -> tuple[str, str]:
+    """(pattern, action) trim rule row for an account. The lit-end
+    shape gets the account name baked into the literal, like the
+    reference's per-account span texts."""
+    pattern, action = TRIM_SHAPES[trim_shape(account)]
+    if pattern == "lit-end":
+        pattern = f"lit:<p>【END】{account}</p>"
+    return pattern, action
+
 
 def _h(*parts: object) -> int:
     """Stable non-negative mix of the parts."""
@@ -191,9 +261,25 @@ def weixin_article_page(account: str, idx: int, spec: WorldSpec) -> str:
         imgs.append(
             f'<img data-src="{PIC_HOST}/mmbiz/{sig}/640?wx_fmt={fmt}" data-type="{fmt}">'
         )
-    marker = f"<p>【END】{account}</p>" if h % 4 == 0 else ""
+    # D6 marker material, per the account's assigned trim shape. A
+    # quarter of articles carry no tail marker (trim must be a no-op);
+    # the backward-shape head marker is likewise sometimes absent.
+    shape = trim_shape(account)
+    head = ""
+    marker = ""
+    if h % 4 == 0:
+        if shape == 0:
+            marker = f"<p>【END】{account}</p>"
+        elif shape == 1:
+            marker = "<hr>"
+        elif shape == 2:
+            marker = "<p>▼往期推荐</p>"
+        elif shape == 4:
+            marker = '<section class="promo">推广二维码</section>'
+    if shape == 3 and h % 4 != 1:
+        head = f"<p>关注{account}</p><hr>"
     parts.append(
-        f'<div id="js_content">{"".join(body)}{"".join(imgs)}{marker}<p>推广尾部</p></div>'
+        f'<div id="js_content">{head}{"".join(body)}{"".join(imgs)}{marker}<p>推广尾部</p></div>'
     )
     parts.append("</body></html>")
     return "".join(parts)

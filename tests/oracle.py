@@ -69,11 +69,14 @@ class Oracle:
                dedup_key: str, delay: float) -> tuple[str, str]:
         kind, html = W.fetch_url(url, attempt=attempt, spec=self.spec)
         ts = self._clock.get(source, 0.0)
+        ua_id, proxy_id = W.fetch_identity(url, attempt)  # S5/S7
         self.events.append(
             dict(url=url, dedup_key=dedup_key, source=source, name=name,
                  seed_id=seed_id, line_no=line_no, stage=stage, page_no=page_no,
                  link_idx=link_idx, attempt=attempt, crawl_delay=delay,
-                 kind=kind, virtual_ts=ts)
+                 kind=kind, virtual_ts=ts,
+                 render=W.render_required(source, stage),
+                 ua_id=ua_id, proxy_id=proxy_id)
         )
         self._clock[source] = ts + delay
         self.seen.add(dedup_key)
@@ -117,8 +120,10 @@ class Oracle:
             if "课程详情" in p["body_text"] and "报名需知" in p["body_text"]:
                 continue  # F11
             self._emit_images(p["body_html"], art_url, title, line_no, 0, pos)
-            marker = f"<p>【END】{name}</p>"  # D6 trim rule for this account
-            content = H.tiny_html(H.trim_dom(p["body_html"], marker, "strip_after"))
+            # D6: the account's trim rule (one of the five marker
+            # shapes — same assignment the rules table carries)
+            marker, direction = W.trim_rule_for(name)
+            content = H.tiny_html(H.trim_dom(p["body_html"], marker, direction))
             self.articles.append(
                 dict(src_url=art_url, title=title, author_name=p["author_name"],
                      resource_from=name, content=content, content_src=p["msg_link"],

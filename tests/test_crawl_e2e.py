@@ -34,6 +34,39 @@ def test_fetch_order_matches_oracle(run_and_oracle):
     assert got == want
 
 
+def test_fetch_identity_matches_oracle(run_and_oracle):
+    """S5/S7: (render, ua_id, proxy_id) carried through the plan and
+    equal to the oracle's identity model on every fetch."""
+    results, oracle = run_and_oracle
+    got = [
+        (r["url"], r["attempt"], r["render"], r["ua_id"], r["proxy_id"])
+        for r in results["fetch_order"]
+        .select("url", "attempt", "render", "ua_id", "proxy_id")
+        .collect()
+    ]
+    want = [
+        (e["url"], e["attempt"], e["render"], e["ua_id"], e["proxy_id"])
+        for e in oracle.events
+    ]
+    assert got == want
+
+
+def test_antibot_retry_rotates_identity(run_and_oracle):
+    """O8 + S5: every anti-bot retry must fetch under a DIFFERENT
+    (ua_id, proxy_id) than the blocked attempt — the reference's
+    install_new_driver rotation (tianyan_crawler.py:145-152)."""
+    results, oracle = run_and_oracle
+    rows = results["fetch_order"].select("url", "attempt", "ua_id", "proxy_id").collect()
+    by_url: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        by_url.setdefault(r["url"], {})[r["attempt"]] = (r["ua_id"], r["proxy_id"])
+    retried = {u: a for u, a in by_url.items() if len(a) > 1}
+    assert retried, "world must contain at least one anti-bot retry"
+    for url, attempts in retried.items():
+        assert attempts[0][0] != attempts[1][0], f"ua not rotated for {url}"
+        assert attempts[0][1] != attempts[1][1], f"proxy not rotated for {url}"
+
+
 def test_virtual_clock_matches_oracle(run_and_oracle):
     results, oracle = run_and_oracle
     got = {

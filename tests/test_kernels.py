@@ -204,10 +204,29 @@ def test_invest_type_classification():
 
 def test_trim_directions():
     html = "<p>keep1</p><p>MARK</p><p>drop</p>"
-    assert H.trim_dom(html, "<p>MARK</p>", "strip_after") == "<p>keep1</p>"
+    assert H.trim_dom(html, "lit:<p>MARK</p>", "strip_after") == "<p>keep1</p>"
     # the previous_elements case (weixin_public.py:439-449)
-    assert H.trim_dom(html, "<p>MARK</p>", "strip_before") == "<p>drop</p>"
-    assert H.trim_dom(html, "<p>NONE</p>", "strip_after") == html
+    assert H.trim_dom(html, "lit:<p>MARK</p>", "strip_before") == "<p>drop</p>"
+    assert H.trim_dom(html, "lit:<p>NONE</p>", "strip_after") == html
+    # bare spec = literal (back-compat)
+    assert H.trim_dom(html, "<p>MARK</p>", "strip_after") == "<p>keep1</p>"
+
+
+def test_trim_selector_markers():
+    html = "<p>a</p><hr><p>b</p><hr/><p>c</p>"
+    # last-<hr> strip_after (环球老虎财经, weixin_public.py:421-429)
+    assert H.trim_dom(html, "tag-last:hr", "strip_after") == "<p>a</p><hr><p>b</p>"
+    # first-<hr> backward strip (扑克投资家, weixin_public.py:439-449)
+    assert H.trim_dom(html, "tag-first:hr", "strip_before") == "<p>b</p><hr/><p>c</p>"
+    # last-<section> remove_only (华商韬略, weixin_public.py:404-409):
+    # the element goes, everything around it stays
+    html2 = "<p>a</p><section>s1</section><p>b</p><section>s2</section><p>c</p>"
+    assert (
+        H.trim_dom(html2, "tag-last:section", "remove_only")
+        == "<p>a</p><section>s1</section><p>b</p><p>c</p>"
+    )
+    # marker absent -> unchanged
+    assert H.trim_dom("<p>x</p>", "tag-last:hr", "strip_after") == "<p>x</p>"
 
 
 def test_tiny_strips_attrs():

@@ -48,3 +48,15 @@ def test_star_join_has_no_sort_merge(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_phash_hamming_is_banded_not_cartesian(spark):
+    """The banded-LSH pair join must be an equi-join on (source, band
+    idx, band value) — never a per-source cartesian (the round-1 plan
+    was all-pairs within source; VERDICT 'What's wrong' #2)."""
+    df = QUERIES["phash_hamming"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

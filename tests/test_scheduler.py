@@ -1,0 +1,76 @@
+"""Scheduler unit guards (beyond the e2e exact-order tests).
+
+Covers the ADVICE round-1 finding: sources missing from SOURCE_RANK
+must not collapse to a NULL rank — NULL keys never match the broadcast
+per-partition offsets join, so ref_seq would be duplicated across
+range partitions for those rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_crawler_spark.operators.scheduler import (
+    SOURCE_RANK,
+    schedule,
+    with_priority,
+)
+
+FRONTIER_DDL = (
+    "url string, source string, line_no int, stage int, page_no int, "
+    "link_idx int, attempt int, crawl_delay double, host string"
+)
+
+
+def _frontier(spark, n_per_source=40):
+    rows = []
+    for i, src in enumerate(["weixin", "mystery_a", "mystery_b"]):
+        for j in range(n_per_source):
+            rows.append(
+                (
+                    f"http://h{i}.example.com/n/{j}",
+                    src,
+                    j,
+                    2,
+                    0,
+                    j % 7,
+                    0,
+                    1.0,
+                    f"h{i}.example.com",
+                )
+            )
+    return spark.createDataFrame(rows, FRONTIER_DDL)
+
+
+def test_unmapped_source_gets_sentinel_rank(spark):
+    wp = with_priority(_frontier(spark))
+    assert wp.filter(F.col("source_rank").isNull()).count() == 0
+    ranks = {
+        r.source: r.source_rank
+        for r in wp.select("source", "source_rank").distinct().collect()
+    }
+    assert ranks["weixin"] == SOURCE_RANK["weixin"]
+    sentinel = len(SOURCE_RANK)
+    assert ranks["mystery_a"] == sentinel and ranks["mystery_b"] == sentinel
+
+
+def test_unmapped_source_ref_seq_has_no_duplicates(spark):
+    """With a NULL rank, the offsets join misses and every range
+    partition restarts ref_seq at 1 (duplicates). The sentinel rank
+    must keep ref_seq a gap-free, duplicate-free 1..n sequence within
+    each rank group."""
+    plan = schedule(_frontier(spark), n_salts=2, n_range_partitions=8)
+    grp = (
+        plan.groupBy("source_rank")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("ref_seq").alias("n_distinct"),
+            F.min("ref_seq").alias("lo"),
+            F.max("ref_seq").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(grp) == 2  # weixin + merged sentinel group
+    for r in grp:
+        assert r.n == r.n_distinct, f"duplicate ref_seq in rank {r.source_rank}"
+        assert (r.lo, r.hi) == (1, r.n), f"gapped ref_seq in rank {r.source_rank}"

@@ -26,6 +26,7 @@ def _rows(n, t0):
                 f"http://h{i % 5}.example.com/n/{i % 20}",
                 "chuansongmen", "acct", i % 3, i % 3, 2, 0, i, 0, 1,
                 "", "", "", 3.0,
+                False, 0, 0,  # S5/S7 identity columns (fixed: not under test here)
                 t0 + dt.timedelta(minutes=i % 7),
             )
         )
