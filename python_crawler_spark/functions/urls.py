@@ -106,6 +106,21 @@ def absolutize(href: str, base: str) -> str:
 # ---------------------------------------------------------------- Spark side
 
 
+def canonicalize_col(url: Column, slow_udf) -> Column:
+    """Canonicalize with the fast path in the JVM: URLs already in
+    canonical shape (the overwhelmingly common case on a well-formed
+    frontier) are recognized by one codegen regex and pass through
+    without EVER crossing the Arrow boundary; only irregular URLs
+    (ports, uppercase, queries to sort, fragments) are handed to the
+    vectorized Python UDF. Idempotence (property-tested) guarantees
+    both paths agree; JVM/pandas regex equivalence is parity-tested.
+
+    ``slow_udf`` is injected (the pandas UDF) to keep this module free
+    of UDF registration order concerns."""
+    fast = url.rlike(_FAST_CANONICAL_RE)
+    return F.when(fast, url).otherwise(slow_udf(url))
+
+
 def host_col(url: Column) -> Column:
     """Host of a URL, lowercased, default port stripped — JVM-side."""
     host = F.lower(F.parse_url(url, F.lit("HOST")))

@@ -67,6 +67,54 @@ def windowed_discovery_metrics(
     )
 
 
+def stateful_stream_dedup(enriched: DataFrame) -> DataFrame:
+    """Cross-micro-batch URL-seen dedup as a CUSTOM STATEFUL OPERATOR
+    (applyInPandasWithState): per hash-bucket group, the state is the
+    set of key_hashes ever emitted; a row passes only the first time
+    its key_hash appears in the stream's lifetime.
+
+    This is the streaming-native seen set — unlike the foreachBatch
+    bridge (whose ``seen`` snapshot is fixed at query start), state
+    here evolves across micro-batches and is persisted/restored by the
+    streaming checkpoint. Partitioned by ``bucket`` so state shards
+    exactly like the batch seen table (SURVEY J1); seen sets only grow
+    (no watermark eviction — production configures the RocksDB state
+    store for spill).
+
+    Emission semantics are SET-dedup (first arrival in stream order),
+    not the batch priority-tuple first-occurrence — a stream has no
+    global priority order to win by; the downstream schedule() still
+    orders every emitted row deterministically.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = enriched.schema
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep = []
+            for kh in pdf["key_hash"]:
+                if kh in seen:
+                    keep.append(False)
+                else:
+                    seen.add(int(kh))
+                    keep.append(True)
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+        state.update((list(seen),))
+
+    return enriched.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        out_schema,
+        "hashes array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_micro_batches(
     enriched: DataFrame,
     seen: DataFrame,

@@ -50,13 +50,18 @@ def test_star_join_has_no_sort_merge(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_phash_hamming_is_banded_not_cartesian(spark):
-    """The banded-LSH pair join must be an equi-join on (source, band
-    idx, band value) — never a per-source cartesian (the round-1 plan
-    was all-pairs within source; VERDICT 'What's wrong' #2)."""
-    df = QUERIES["phash_hamming"](spark, SF_DIR)
+@pytest.mark.parametrize(
+    "name",
+    ["phash_hamming", "minhash_near_dup", "embed_cosine_dedup", "ngram_jaccard_pairs"],
+)
+def test_near_dup_joins_are_banded_not_cartesian(spark, name):
+    """Every near-dup pair generator must candidate via an equi-join
+    on its band/bucket key — never a cartesian or nested-loop pair
+    space (the round-1 phash plan was all-pairs within source;
+    VERDICT 'What's wrong' #2)."""
+    df = QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name

@@ -42,6 +42,34 @@ def _frontier(spark, n_per_source=40):
     return spark.createDataFrame(rows, FRONTIER_DDL)
 
 
+def test_canonicalize_col_matches_scalar(spark):
+    """The JVM fast-path (codegen regex pass-through) + Arrow slow
+    path must equal the scalar canonicalizer on every URL shape —
+    including the irregular ones that must NOT take the fast path."""
+    from python_crawler_spark.functions.urls import canonicalize_col, canonicalize_url
+    from python_crawler_spark.parse.udfs import canonicalize_urls_udf
+
+    urls = [
+        "http://h0.example.com/n/1",                      # canonical already
+        "https://sub.host.com/a/b/c",                     # canonical already
+        "HTTP://MP.Weixin.QQ.com:80/s?b=2&a=1#frag",      # everything wrong
+        "https://Host:443/",                              # default port
+        "http://h/p?",                                    # dangling ?
+        "http://h.com/p?z=1&a=2",                         # query sort
+        "http://h.com",                                   # empty path
+        " http://h.com/x ",                               # whitespace
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.withColumn(
+            "canon", canonicalize_col(F.col("url"), canonicalize_urls_udf)
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == canonicalize_url(u), u
+
+
 def test_unmapped_source_gets_sentinel_rank(spark):
     wp = with_priority(_frontier(spark))
     assert wp.filter(F.col("source_rank").isNull()).count() == 0

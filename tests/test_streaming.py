@@ -59,6 +59,57 @@ def test_streaming_schedule_foreachbatch(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 20
 
 
+def test_stateful_stream_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState seen-set: duplicates arriving in LATER
+    micro-batches are suppressed by evolving state (foreachBatch with a
+    static seen snapshot cannot do this)."""
+    from python_crawler_spark.streaming.frontier_stream import stateful_stream_dedup
+
+    import glob
+    import shutil
+
+    drop = tmp_path / "drop3"
+    drop.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    # two separate data files -> with maxFilesPerTrigger=1, two
+    # micro-batches; file 2 repeats file 1's URLs plus 10 new ones
+    rows2 = _rows(20, t0) + [
+        (
+            f"http://h9.example.com/new/{i}",
+            "chuansongmen", "acct", 0, 0, 2, 0, i, 0, 1, "", "", "", 3.0,
+            False, 0, 0,
+            t0,
+        )
+        for i in range(10)
+    ]
+    for name, rows in (("f1", _rows(20, t0)), ("f2", rows2)):
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, STREAM_SCHEMA).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, drop / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    deduped = stateful_stream_dedup(streaming_enrich(stream, n_buckets=8))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("select dedup_key from stateful_dedup").collect()
+    keys = [r["dedup_key"] for r in out]
+    # 20 unique from the repeated set + 10 new = 30, each exactly once
+    assert len(keys) == 30
+    assert len(set(keys)) == 30
+
+
 def test_windowed_discovery_metrics(spark, tmp_path):
     drop = tmp_path / "drop2"
     t0 = dt.datetime(2024, 1, 1)
