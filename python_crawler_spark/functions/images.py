@@ -71,6 +71,39 @@ def decode_standard(data: bytes) -> tuple[int, int, str, np.ndarray]:
     )
 
 
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic bilinear resize of an (h, w, 3) uint8 image —
+    REAL implementation (pure numpy, half-pixel centers like
+    PIL/OpenCV), not a stub: resizing is pixel math, not codec work,
+    so it needs no image library."""
+    h, w = pixels.shape[:2]
+    if (out_h, out_w) == (h, w):
+        return pixels.copy()
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def thumbnail_dims(h: int, w: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving (h, w) with the longer side capped at
+    max_side; never upscales."""
+    side = max(h, w)
+    if side <= max_side:
+        return h, w
+    scale = max_side / side
+    return max(1, round(h * scale)), max(1, round(w * scale))
+
+
 def to_gray(pixels: np.ndarray) -> np.ndarray:
     """ITU-R 601 luma, float64 (h, w)."""
     p = pixels.astype(np.float64)

@@ -78,6 +78,127 @@ def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     return imgs.mapInPandas(run, out_schema)
 
 
+def resize_images(
+    imgs: DataFrame, max_side: int = 16, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Thumbnail stage (training-pipeline resize): decode -> bilinear
+    downscale to max_side (aspect-preserving, never upscales) ->
+    re-encode lossless. Adds thumb_bytes/thumb_w/thumb_h. The resize
+    math is real (functions/images.resize_bilinear); only standard
+    codec parsing is a stubbed seam."""
+    out_schema = T.StructType(
+        imgs.schema.fields
+        + [
+            T.StructField("thumb_bytes", T.BinaryType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_h", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for blob in pdf[bytes_col]:
+                w, h, _fmt, px = IMG.decode_image(bytes(blob))
+                th, tw = IMG.thumbnail_dims(h, w, max_side)
+                tp = IMG.resize_bilinear(px, th, tw)
+                blobs.append(IMG.encode_image(tp, "png"))
+                ws.append(tw)
+                hs.append(th)
+            yield pdf.assign(thumb_bytes=blobs, thumb_w=ws, thumb_h=hs)
+
+    return imgs.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(
+    videos: DataFrame, n_samples: int = 4, video_col: str = "video_bytes"
+) -> DataFrame:
+    """Frame-sampling stage: each video row explodes into n evenly
+    spaced frame rows (frame_idx, frame bytes, dims, phash). Frames
+    are read lazily from the container — sampling k of F frames never
+    decodes the other F-k (functions/media.iter_frames). The video
+    bytes column is DROPPED from the output so the explosion doesn't
+    replicate megabytes per frame row (at corpus scale the frames
+    table is written separately from the videos table)."""
+    from ..functions import media as MED
+
+    keep = [f for f in videos.schema.fields if f.name != video_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+            T.StructField("frame_w", T.IntegerType()),
+            T.StructField("frame_h", T.IntegerType()),
+            T.StructField("frame_phash", T.LongType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[video_col])
+                n, fps = MED.video_info(data)
+                wanted = set(MED.sample_frame_indices(n, n_samples))
+                for idx, blob in MED.iter_frames(data):
+                    if idx not in wanted:
+                        continue
+                    w, h, _fmt, px = IMG.decode_image(blob)
+                    rows.append(
+                        {
+                            **{k: r[k] for k in keep_names},
+                            "n_frames": n,
+                            "fps": fps,
+                            "frame_idx": idx,
+                            "frame_bytes": blob,
+                            "frame_w": w,
+                            "frame_h": h,
+                            "frame_phash": IMG.phash64(px),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return videos.mapInPandas(run, out_schema)
+
+
+def extract_audio_features(
+    audio: DataFrame, audio_col: str = "audio_bytes"
+) -> DataFrame:
+    """Audio feature stage: real PCM math (duration/RMS/zero-cross/
+    peak) per row; standard-format decode is the stubbed seam
+    (functions/media.decode_audio_standard)."""
+    from ..functions import media as MED
+
+    out_schema = T.StructType(
+        audio.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = [MED.audio_features(bytes(b)) for b in pdf[audio_col]]
+            yield pdf.assign(
+                sample_rate=[f["sample_rate"] for f in feats],
+                duration_s=[f["duration_s"] for f in feats],
+                rms=[f["rms"] for f in feats],
+                zero_cross_rate=[f["zero_cross_rate"] for f in feats],
+                peak=[f["peak"] for f in feats],
+            )
+
+    return audio.mapInPandas(run, out_schema)
+
+
 def with_rehost_id(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     """X7/X8/K5: deterministic re-host identity — replaces the
     reference's abs(hash(url)) filename + TFS retry-until-legal loop

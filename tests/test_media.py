@@ -1,0 +1,131 @@
+"""Multimodal resize / frame-sample / audio-feature operators: real
+math + real Spark plumbing over the deterministic PCS1/PCSV/PCSA
+containers (standard codecs are stubbed production seams)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from python_crawler_spark.functions import images as IMG
+from python_crawler_spark.functions import media as MED
+from python_crawler_spark.operators.multimodal import (
+    extract_audio_features,
+    resize_images,
+    sample_video_frames,
+    synth_image_pixels,
+)
+
+# ------------------------------------------------------------- kernels
+
+
+def test_resize_bilinear_shapes_and_determinism():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(40, 30, 3)).astype(np.uint8)
+    out = IMG.resize_bilinear(px, 10, 8)
+    assert out.shape == (10, 8, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, IMG.resize_bilinear(px, 10, 8))
+    # identity resize is exact
+    assert np.array_equal(IMG.resize_bilinear(px, 40, 30), px)
+    # constant image stays constant under interpolation
+    flat = np.full((32, 32, 3), 120, np.uint8)
+    assert np.all(IMG.resize_bilinear(flat, 5, 9) == 120)
+
+
+def test_thumbnail_dims_never_upscales():
+    assert IMG.thumbnail_dims(10, 20, 16) == (8, 16)
+    assert IMG.thumbnail_dims(10, 8, 16) == (10, 8)
+    assert IMG.thumbnail_dims(100, 1, 16) == (16, 1)
+
+
+def test_video_container_roundtrip_and_lazy_frames():
+    frames = [
+        np.full((6, 5, 3), i * 10, np.uint8) for i in range(7)
+    ]
+    blob = MED.encode_video(frames, fps=25)
+    assert MED.video_info(blob) == (7, 25)
+    got = dict(MED.iter_frames(blob))
+    assert sorted(got) == list(range(7))
+    w, h, fmt, px = IMG.decode_image(got[3])
+    assert (w, h, fmt) == (5, 6, "png")
+    assert np.array_equal(px, frames[3])
+
+
+def test_sample_frame_indices():
+    assert MED.sample_frame_indices(10, 4) == [0, 2, 5, 7]
+    assert MED.sample_frame_indices(3, 8) == [0, 1, 2]
+    assert MED.sample_frame_indices(0, 4) == []
+    assert 0 in MED.sample_frame_indices(100, 5)
+
+
+def test_audio_features_math():
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 16384).astype(np.int16)
+    feats = MED.audio_features(MED.encode_audio(sine, rate))
+    assert feats["duration_s"] == pytest.approx(1.0)
+    assert feats["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+    assert feats["peak"] == pytest.approx(0.5, rel=0.01)
+    # 440 Hz sine crosses zero ~880 times/s
+    assert feats["zero_cross_rate"] == pytest.approx(880 / rate, rel=0.05)
+
+
+def test_standard_codec_seams_raise():
+    with pytest.raises(NotImplementedError):
+        MED.video_info(b"\x00\x00\x00\x18ftypmp42....")
+    with pytest.raises(NotImplementedError):
+        MED.decode_audio(b"ID3\x04....")
+
+
+# ------------------------------------------------------- Spark operators
+
+
+def test_resize_images_operator(spark):
+    rows = []
+    for i in range(6):
+        px, fmt = synth_image_pixels(f"http://img.example.com/{i}")
+        rows.append((f"img{i}", IMG.encode_image(px, fmt)))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = resize_images(df, max_side=12).collect()
+    assert len(out) == 6
+    for r in out:
+        assert max(r["thumb_w"], r["thumb_h"]) <= 12
+        w, h, fmt, px = IMG.decode_image(bytes(r["thumb_bytes"]))
+        assert (w, h) == (r["thumb_w"], r["thumb_h"])
+        assert fmt == "png"
+
+
+def test_sample_video_frames_operator(spark):
+    vids = []
+    for v in range(3):
+        frames = [
+            np.full((8, 8, 3), (v * 40 + i * 5) % 256, np.uint8) for i in range(10)
+        ]
+        vids.append((f"vid{v}", MED.encode_video(frames, fps=30)))
+    df = spark.createDataFrame(vids, "video_id string, video_bytes binary")
+    out = sample_video_frames(df, n_samples=4).collect()
+    # 3 videos x 4 sampled frames; video bytes column dropped
+    assert len(out) == 12
+    assert "video_bytes" not in out[0].asDict()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r["frame_idx"])
+        assert (r["n_frames"], r["fps"]) == (10, 30)
+        assert (r["frame_w"], r["frame_h"]) == (8, 8)
+    for idxs in by_vid.values():
+        assert sorted(idxs) == [0, 2, 5, 7]
+
+
+def test_extract_audio_features_operator(spark):
+    rows = []
+    for i in range(4):
+        n = 4000 * (i + 1)
+        pcm = (np.sin(np.arange(n) / (3.0 + i)) * 10000).astype(np.int16)
+        rows.append((f"a{i}", MED.encode_audio(pcm, 16000)))
+    df = spark.createDataFrame(rows, "audio_id string, audio_bytes binary")
+    out = {r["audio_id"]: r for r in extract_audio_features(df).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        r = out[f"a{i}"]
+        assert r["duration_s"] == pytest.approx(4000 * (i + 1) / 16000)
+        assert 0 < r["rms"] < 1 and 0 < r["peak"] <= 1
