@@ -124,6 +124,43 @@ def robots_gate(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     )
 
 
+def robots_prefix_gate(
+    frontier: DataFrame, rules: DataFrame, kind: str = "robots_prefix"
+) -> DataFrame:
+    """J8, RFC 9309 longest-match semantics: per host, allow/deny PATH
+    PREFIX rules; the longest matching prefix wins; on a length tie
+    allow wins (RFC 9309 §2.2.2); no matching rule -> allow.
+
+    Scale shape: rules collapse to ONE array row per host
+    (collect_list over the tiny rules table), broadcast-joined on
+    host; the longest-match decision is a pure codegen expression
+    (filter + array_max over the struct array) — the frontier side is
+    never shuffled, windowed, or grouped."""
+    per_host = F.broadcast(
+        _rules_of(rules, kind)
+        .groupBy(F.col("key").alias("_r_host"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("pattern").alias("p"), F.col("action").alias("a"))
+            ).alias("_rr")
+        )
+    )
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    joined = frontier.join(per_host, F.col("host") == F.col("_r_host"), "left")
+    matched = F.filter("_rr", lambda r: F.startswith(path, r["p"]))
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["p"]).alias("l"),
+                (r["a"] == F.lit("allow")).cast("int").alias("allow"),
+            ),
+        )
+    )
+    allowed = best.isNull() | (best["allow"] == 1)
+    return joined.filter(allowed).drop("_r_host", "_rr")
+
+
 def pic_sig_gate(imgs: DataFrame, rules: DataFrame, sig_col: str = "sig") -> DataFrame:
     """F15/J2: drop images whose URL signature is blacklisted."""
     black = _rules_of(rules, "pic_sig_black").select(F.col("pattern").alias(sig_col))

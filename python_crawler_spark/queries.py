@@ -1118,6 +1118,77 @@ def q_streaming_fetch_plan(spark, sf_dir):
     ).orderBy("ref_seq")
 
 
+_ROBOTS_PREFIX_RULES = [
+    # longest-match exercise: blanket deny with a longer allow carve-out
+    ("h1.example.com", "/n/", "deny"),
+    ("h1.example.com", "/n/1", "allow"),
+    # deny-everything host
+    ("h2.example.com", "/", "deny"),
+    # allow with a longer deny carve-out
+    ("h3.example.com", "/n/", "allow"),
+    ("h3.example.com", "/n/4", "deny"),
+    # exact length tie -> allow wins (RFC 9309 §2.2.2)
+    ("h4.example.com", "/n/2", "deny"),
+    ("h4.example.com", "/n/2", "allow"),
+]
+
+
+def q_robots_prefix_gate(spark, sf_dir):
+    """J8 with RFC 9309 longest-match semantics: synthetic frontier
+    URLs from events, per-host allow/deny path-prefix rules, longest
+    prefix wins, allow wins ties, no-match allows. The decision is a
+    pure expression over a broadcast per-host rule array
+    (operators/gating.robots_prefix_gate) — the frontier side is never
+    shuffled or windowed."""
+    from .operators.gating import RULES_SCHEMA, robots_prefix_gate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    host = F.concat(
+        F.lit("h"), (F.col("user_id") % 10).cast("string"), F.lit(".example.com")
+    )
+    f = ev.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/n/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [("robots_prefix", h, p, a) for h, p, a in _ROBOTS_PREFIX_RULES],
+        RULES_SCHEMA,
+    )
+    return robots_prefix_gate(f, rules).groupBy("host").agg(
+        F.count("*").alias("n_allowed")
+    )
+
+
+_ROBOTS_RULES_SQL = ",\n         ".join(
+    f"('{h}', '{p}', '{a}')" for h, p, a in _ROBOTS_PREFIX_RULES
+)
+SQL_ROBOTS_PREFIX_GATE = f"""
+WITH f AS (
+  SELECT 'h' || (user_id % 10) || '.example.com' AS host,
+         '/n/' || event_id AS path
+  FROM events WHERE event_id < 2000
+), r(host, pattern, action) AS (
+  VALUES {_ROBOTS_RULES_SQL}
+), m AS (
+  SELECT f.host, f.path, r.action,
+         row_number() OVER (
+           PARTITION BY f.host, f.path
+           ORDER BY len(r.pattern) DESC,
+                    CASE WHEN r.action = 'allow' THEN 0 ELSE 1 END
+         ) AS rk
+  FROM f JOIN r ON f.host = r.host AND starts_with(f.path, r.pattern)
+)
+SELECT host, count(*) AS n_allowed FROM (
+  SELECT f.host FROM f
+  LEFT JOIN (SELECT host, path, action FROM m WHERE rk = 1) d
+    ON d.host = f.host AND d.path = f.path
+  WHERE d.action IS NULL OR d.action = 'allow'
+) GROUP BY host
+"""
+
+
 def q_token_bpe_count(spark, sf_dir):
     """Token counting with a BPE-ish regex (letter runs / digit runs /
     single punctuation) — the tokenizer-budget statistic a training
@@ -1173,6 +1244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_hamming": q_phash_hamming,
     "token_bpe_count": q_token_bpe_count,
     "embed_cosine_dedup": q_embed_cosine_dedup,
+    "robots_prefix_gate": q_robots_prefix_gate,
     # non-SQL-expressible (Structured Streaming) -> rows-only check
     "streaming_fetch_plan": q_streaming_fetch_plan,
 }
@@ -1210,4 +1282,5 @@ ORACLE_SQL: dict[str, str] = {
     "phash_hamming": SQL_PHASH_HAMMING,
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,
     "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
+    "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
 }
