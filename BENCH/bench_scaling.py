@@ -159,8 +159,11 @@ politeness-bound at <= 1 URL/s single-threaded; the rebuild schedules
 the same politeness budget as virtual time, so scheduler throughput is
 compute-bound as the metric requires.
 """
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
-    print("wrote BENCH/BASELINE.md")
+    # BENCH/BASELINE.md is the curated evidence document (both pairs +
+    # host-ceiling analysis); raw per-run reports land next to it.
+    out = REPO / "BENCH" / f"scaling_run_{lo}_{hi}.md"
+    out.write_text(md)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
