@@ -217,12 +217,18 @@ FROM sig GROUP BY mh0, mh1, mh2, mh3 HAVING count(*) > 1
 """
 
 
+_NGRAM_BANDS = 3
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup: word-3-gram sets, pairwise Jaccard
-    computed only within candidate buckets keyed by md5 of the exact
-    first-4-words prefix (never all-pairs; head-edited near-dups land
-    in different buckets by design — use minhash_near_dup for
-    edit-robust candidate generation). Emits pairs with J >= 0.8."""
+    computed only on MinHash candidate pairs (never all-pairs).
+    Candidates come from 3 one-hash MinHash bands over the gram set —
+    docs agreeing on ANY band's minimum gram-hash are candidates, so
+    the bucketing is robust to head edits (a prefix-keyed bucket, the
+    round-1 design, missed any pair whose first words differ). Recall
+    for J >= 0.8 is 1-(1-J/(2-J))^3 ≈ 0.96 per the MinHash collision
+    bound; exact Jaccard then confirms. Emits pairs with J >= 0.8."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("ws"))
     grams = words.select(
@@ -234,14 +240,28 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             )
         ).alias("g"),
     ).distinct()
-    sig = words.select(
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(b)), F.col("g")))).alias(f"mh{b}")
+            for b in range(_NGRAM_BANDS)
+        ]
+    )
+    bands = sig.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.expr("slice(ws, 1, 4)"))).alias("bkt"),
+        F.posexplode(F.array(*[F.col(f"mh{b}") for b in range(_NGRAM_BANDS)])).alias(
+            "band", "bkt"
+        ),
     )
     pairs = (
-        sig.alias("x")
-        .join(sig.alias("y"), (F.col("x.bkt") == F.col("y.bkt")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
     )
     ga = grams.select(F.col("doc_id").alias("a"), F.col("g").alias("g"))
     gb = grams.select(F.col("doc_id").alias("b"), F.col("g").alias("g"))
@@ -257,7 +277,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return out
 
 
-SQL_NGRAM_JACCARD_PAIRS = """
+SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), grams AS (
@@ -265,10 +285,14 @@ WITH words AS (
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
   FROM words, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
 ), sig AS (
-  SELECT doc_id, md5(array_to_string(list_slice(ws, 1, 4), ' ')) AS bkt FROM words
+  SELECT doc_id,
+         {", ".join(f"min(md5('{b}' || g)) AS mh{b}" for b in range(_NGRAM_BANDS))}
+  FROM grams GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, mh{b} AS bkt FROM sig" for b in range(_NGRAM_BANDS))}
 ), pairs AS (
-  SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
-  ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
 ), inter AS (
   SELECT p.a, p.b, count(*) AS i FROM pairs p
   JOIN grams ga ON ga.doc_id = p.a
