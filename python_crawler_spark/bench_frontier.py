@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import bucket_col
-from .functions.urls import canonicalize_col
+from .functions.urls import canonicalize_split
 from .operators import gating
 from .operators.dedup import batch_first_occurrence, build_bloom_filters, dedup_against_seen
 from .operators.scheduler import PRIORITY_COLS, schedule
@@ -130,9 +130,7 @@ def timed_schedule(
     if n_range_partitions is None:
         n_range_partitions = spark.sparkContext.defaultParallelism * 2
     t0 = time.time()
-    f = frontier.withColumn(
-        "canon_url", canonicalize_col(F.col("url"), canonicalize_urls_udf)
-    )
+    f = canonicalize_split(frontier, canonicalize_urls_udf)
     f = f.withColumn("key_hash", F.xxhash64("canon_url")).drop("canon_url")
     f = f.withColumn("bucket", bucket_col(F.col("key_hash"), N_BUCKETS))
     f = f.withColumn(

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from ..functions.hashing import bucket_col
 from ..functions.urls import (
     absolutize_col,
-    canonicalize_col,
+    canonicalize_split,
     host_col,
     pic_signature_col,
     query_param_col,
@@ -217,9 +217,7 @@ class CrawlRun:
         reference dedups weixin by title, J1/F7; url otherwise; attempt
         suffix lets O8 retries bypass the seen set), key_hash, bucket,
         host."""
-        f = frontier.withColumn(
-            "canon_url", canonicalize_col(F.col("url"), canonicalize_urls_udf)
-        )
+        f = canonicalize_split(frontier, canonicalize_urls_udf)
         base_key = F.when(
             (F.col("source") == "weixin") & (F.col("stage") == STAGE_CHILD),
             F.col("title"),

@@ -229,6 +229,27 @@ def test_trim_selector_markers():
     assert H.trim_dom("<p>x</p>", "tag-last:hr", "strip_after") == "<p>x</p>"
 
 
+def test_trim_idempotence_bounds():
+    """Literal-marker trims are idempotent (the marker is consumed by
+    the first application). Tag-selector trims are single-application
+    operators — with several instances of the tag present, a second
+    application would consume the next one (matching the reference,
+    which trims each article exactly once) — so idempotence is only
+    guaranteed, and only asserted, when the tag occurs once."""
+    multi = "<p>head</p><hr><p>a</p><p>MARK</p><p>tail</p><hr/>"
+    for direction in ("strip_after", "strip_before"):
+        once = H.trim_dom(multi, "lit:<p>MARK</p>", direction)
+        assert H.trim_dom(once, "lit:<p>MARK</p>", direction) == once
+    single = "<p>a</p><section>s</section><p>b</p><hr><p>c</p>"
+    for marker, direction in [
+        ("tag-first:hr", "strip_before"),
+        ("tag-last:hr", "strip_after"),
+        ("tag-last:section", "remove_only"),
+    ]:
+        once = H.trim_dom(single, marker, direction)
+        assert H.trim_dom(once, marker, direction) == once, (marker, direction)
+
+
 def test_tiny_strips_attrs():
     html = '<p id="a" style="x" data-k="v">t</p><section id="keep">s</section>' \
            '<img data-src="u" src="s" class="c" width="3">'

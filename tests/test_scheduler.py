@@ -69,6 +69,16 @@ def test_canonicalize_col_matches_scalar(spark):
     for u in urls:
         assert got[u] == canonicalize_url(u), u
 
+    # the filter/union variant (the hot path — fast rows never cross
+    # Arrow) must agree row-for-row, and lose/duplicate nothing
+    from python_crawler_spark.functions.urls import canonicalize_split
+
+    split = canonicalize_split(df, canonicalize_urls_udf, out="canon")
+    got2 = {r["url"]: r["canon"] for r in split.collect()}
+    assert split.count() == len(urls)
+    for u in urls:
+        assert got2[u] == canonicalize_url(u), u
+
 
 def test_unmapped_source_gets_sentinel_rank(spark):
     wp = with_priority(_frontier(spark))
