@@ -139,7 +139,14 @@ def canonicalize_split(df, slow_udf, url_col: str = "url", out: str = "canon_url
     is_fast = url.rlike(_FAST_CANONICAL_RE)
     fast = df.filter(is_fast).withColumn(out, url)
     slow = df.filter(~is_fast | url.isNull()).withColumn(out, slow_udf(url_col))
-    return fast.unionByName(slow)
+    # A plain union DOUBLES the map-stage partition count (both
+    # branches scan the source); on an oversubscribed local[N] that
+    # doubles concurrent tasks and thrashes SMT siblings (measured 2x
+    # regression at local[32]). Coalesce back to the input's count —
+    # shuffle-free; each output partition chains one fast + one slow
+    # partition.
+    n_parts = df.rdd.getNumPartitions()
+    return fast.unionByName(slow).coalesce(max(n_parts, 1))
 
 
 def host_col(url: Column) -> Column:

@@ -34,6 +34,22 @@ def test_fetch_order_matches_oracle(run_and_oracle):
     assert got == want
 
 
+def test_trim_shape_diversity_exercised(run_and_oracle):
+    """The equality tests only mean something if the world actually
+    contains marker diversity: accounts that produced articles must
+    span at least 4 of the 5 trim shapes, including the backward
+    (previous_elements) one."""
+    from python_crawler_spark.sources.worldgen import trim_shape
+
+    results, _ = run_and_oracle
+    accounts = {
+        r["resource_from"] for r in results["articles"].select("resource_from").collect()
+    }
+    shapes = {trim_shape(a) for a in accounts}
+    assert len(shapes) >= 4, shapes
+    assert 3 in shapes, "backward (strip_before) shape not exercised"
+
+
 def test_fetch_identity_matches_oracle(run_and_oracle):
     """S5/S7: (render, ua_id, proxy_id) carried through the plan and
     equal to the oracle's identity model on every fetch."""
