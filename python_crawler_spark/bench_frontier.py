@@ -5,7 +5,8 @@ Generates an N-URL frontier entirely on executors (spark.range — the
 materialized on the driver), pre-seeds a seen set, then runs the real
 pipeline stages under measurement:
 
-  canonicalize (Arrow UDF) -> xxhash64/bucket (JVM) -> robots gate ->
+  canonicalize (JVM fast path; Arrow UDF only for irregular URLs) ->
+  xxhash64/bucket (JVM) -> robots gate ->
   within-batch first-occurrence dedup -> bloom prefilter + exact
   anti-join vs seen -> priority schedule (distributed global
   rank/prefix-sum + salted per-host politeness windows)
