@@ -96,8 +96,44 @@ def main() -> None:
         "frontier_urls_per_sec": round(fn / fdt, 1),
         "cpus": cpus,
     }
-    print(json.dumps(out))
-    spark.stop()
+    payload = json.dumps(out)
+
+    # Driver-proof emission (round-2 failure: BENCH_r02.json parsed:null).
+    # Local-mode shutdown floods stdout/stderr with a
+    # RejectedExecutionException storm from executor pools tearing down,
+    # pushing the metric JSON out of the driver's tail-capture window. So:
+    #   1. persist the metric to BENCH/result.json (file survives any noise),
+    #   2. stop Spark with BOTH real fds (1 and 2) pointed at /dev/null —
+    #      the JVM writes to the raw descriptors, so contextlib redirect
+    #      is not enough,
+    #   3. restore fds, print the JSON as the final stdout line,
+    #   4. os._exit(0) so no late JVM/daemon thread can print after it.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "result.json"), "w") as fh:
+        fh.write(payload + "\n")
+
+    print(payload, flush=True)  # early copy in case shutdown hangs entirely
+    sys.stdout.flush()
+    sys.stderr.flush()
+    saved_out, saved_err = os.dup(1), os.dup(2)
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    os.dup2(devnull, 1)
+    os.dup2(devnull, 2)
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+        time.sleep(1.0)  # let async shutdown threads finish their noise
+    except Exception:
+        pass
+    finally:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.dup2(saved_out, 1)
+        os.dup2(saved_err, 2)
+        os.close(devnull)
+    print(payload, flush=True)  # guaranteed final line of stdout
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -158,13 +158,13 @@ def timed_schedule(
     scheduled = new.count()  # reads the localCheckpoint: no recompute
     dt = time.time() - t0
     # localCheckpoint blocks live at the RDD level, OUTSIDE the catalog
-    # CacheManager — neither DataFrame.unpersist() nor clearCache()
-    # frees them, so repeated timed reps would accumulate ~0.85*N-row
-    # checkpoint blocks until the ContextCleaner catches up, skewing
-    # the very timings being measured. Unpersist exactly the RDDs this
-    # rep checkpointed (never the long-lived seen/filters state).
+    # CacheManager — the ContextCleaner frees them only after GC, so
+    # repeated timed reps would briefly accumulate ~0.85*N-row
+    # checkpoint blocks (this rep's `new` plus the scheduler's internal
+    # range-partitioned checkpoint), skewing the very timings being
+    # measured. Unpersist exactly the RDDs this rep checkpointed
+    # (never the long-lived seen/filters state).
     _unpersist_rdds(spark, _persistent_rdd_ids(spark) - pre_ckpt_ids)
-    spark.catalog.clearCache()  # drop the rank/prefix-sum stage cache
     return dt, scheduled
 
 

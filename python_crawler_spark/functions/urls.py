@@ -59,7 +59,11 @@ def canonicalize_url(url: str) -> str:
 # already-canonical shape: lowercase scheme+host, no port, non-empty
 # path, no query/fragment/whitespace — the overwhelmingly common case
 # on a well-formed frontier, testable with one C-speed regex pass.
-_FAST_CANONICAL_RE = r"^https?://[a-z0-9.\-]+/[^?#\s]*$"
+# End anchor is (?![\s\S]) — absolute end-of-input in BOTH Java regex
+# (rlike) and Python re — because `$` matches BEFORE a trailing
+# newline in both engines, which would let 'http://a.com/x\n' skip the
+# scalar canonicalizer that strips the whitespace (ADVICE r2).
+_FAST_CANONICAL_RE = r"^https?://[a-z0-9.\-]+/[^?#\s]*(?![\s\S])"
 
 
 def canonicalize_urls(urls: pd.Series) -> pd.Series:
@@ -118,7 +122,9 @@ def canonicalize_col(url: Column, slow_udf) -> Column:
     return F.when(fast, url).otherwise(slow_udf(url))
 
 
-def canonicalize_split(df, slow_udf, url_col: str = "url", out: str = "canon_url"):
+def canonicalize_split(
+    df, slow_udf, url_col: str = "url", out: str = "canon_url", n_parts: int | None = None
+):
     """Canonicalize with the fast path ACTUALLY skipping Python:
     already-canonical URLs (the overwhelmingly common case on a
     well-formed frontier) are selected by one codegen regex and never
@@ -134,7 +140,18 @@ def canonicalize_split(df, slow_udf, url_col: str = "url", out: str = "canon_url
     which evaluates every row. A filter/union split is the only way to
     keep regular rows JVM-side. Idempotence of the canonicalizer
     (property-tested) guarantees the branches agree on any row either
-    could receive."""
+    could receive.
+
+    Both branches SCAN the input, so callers should pass a cheap-to-
+    rescan ``df`` (a materialized source or localCheckpoint — every
+    engine call site does); a live expensive pipeline would execute
+    twice.
+
+    ``n_parts`` bounds the union's map-stage concurrency (see below);
+    when None it defaults to ``sparkContext.defaultParallelism``.
+    Deliberately NOT derived from ``df.rdd.getNumPartitions()``:
+    touching ``.rdd`` mid-plan finalizes the physical plan under AQE
+    and can execute upstream stages as a side effect."""
     url = F.col(url_col)
     is_fast = url.rlike(_FAST_CANONICAL_RE)
     fast = df.filter(is_fast).withColumn(out, url)
@@ -142,10 +159,11 @@ def canonicalize_split(df, slow_udf, url_col: str = "url", out: str = "canon_url
     # A plain union DOUBLES the map-stage partition count (both
     # branches scan the source); on an oversubscribed local[N] that
     # doubles concurrent tasks and thrashes SMT siblings (measured 2x
-    # regression at local[32]). Coalesce back to the input's count —
+    # regression at local[32]). Coalesce back to one input's worth —
     # shuffle-free; each output partition chains one fast + one slow
     # partition.
-    n_parts = df.rdd.getNumPartitions()
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
     return fast.unionByName(slow).coalesce(max(n_parts, 1))
 
 

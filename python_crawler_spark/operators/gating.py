@@ -127,9 +127,18 @@ def robots_gate(frontier: DataFrame, rules: DataFrame) -> DataFrame:
 def robots_prefix_gate(
     frontier: DataFrame, rules: DataFrame, kind: str = "robots_prefix"
 ) -> DataFrame:
-    """J8, RFC 9309 longest-match semantics: per host, allow/deny PATH
-    PREFIX rules; the longest matching prefix wins; on a length tie
-    allow wins (RFC 9309 §2.2.2); no matching rule -> allow.
+    """J8, RFC 9309 longest-match semantics — LITERAL PREFIXES ONLY:
+    per host, allow/deny PATH prefix rules; the longest matching prefix
+    wins; on a length tie allow wins (RFC 9309 §2.2.2); no matching
+    rule -> allow.
+
+    Restrictions rule authors must know (ADVICE r2): patterns are
+    matched as literal path prefixes — the RFC's `*` wildcard and `$`
+    end-anchor special characters (§2.2.3) are NOT interpreted (a
+    pattern containing them will simply never match a real path, since
+    it is compared verbatim); and matching is against parse_url PATH
+    only, so rules that target the query string do not apply. Rules
+    needing either belong in the regex-based :func:`robots_gate`.
 
     Scale shape: rules collapse to ONE array row per host
     (collect_list over the tiny rules table), broadcast-joined on

@@ -89,7 +89,18 @@ def global_rank_and_cumsum(
     dfp = df.repartitionByRange(n_range_partitions, *range_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    dfp = dfp.persist()
+    # Materialize the range-partitioned data ONCE so the offsets pass
+    # and the window pass both read cached blocks instead of re-running
+    # the repartition shuffle. localCheckpoint, NOT persist(): a
+    # DataFrame persist registers in the catalog CacheManager, which
+    # pins the blocks until an explicit unpersist — repeated schedule()
+    # calls in a long-lived driver leaked one full-frontier cache each
+    # (round-2 verdict). localCheckpoint blocks live at the RDD level
+    # and are freed by the ContextCleaner as soon as the returned
+    # DataFrame is garbage-collected — the same lifecycle as every
+    # other checkpoint in this engine (tested: persistent-RDD count is
+    # flat across repeated schedule() calls).
+    dfp = dfp.localCheckpoint(eager=True)
     totals = (
         dfp.groupBy(*part, "_pid")
         .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))

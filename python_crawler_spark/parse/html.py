@@ -21,6 +21,12 @@ consumes (SURVEY D1-D15):
 Reference citations are per-function. Parsing is NOT copied code — the
 reference uses BeautifulSoup traversal; this is an independent
 implementation of the same extraction semantics.
+
+Production boundary: :func:`parse_standard_html` is the documented
+swap point for real-web HTML (lxml/selectolax inside the same Arrow
+UDFs), mirroring the ``decode_standard`` codec seam in
+functions/images.py — the regex dialect parser below covers only the
+synthetic worldgen dialect.
 """
 
 from __future__ import annotations
@@ -45,6 +51,20 @@ _IMG_RE = re.compile(r"<img\b[^>]*>")
 _ATTR_RE = re.compile(r'([\w-]+)="([^"]*)"')
 _ANCHOR_RE = re.compile(r'<a\b([^>]*)>(.*?)</a>', re.S)
 _PAGENAV_RE = re.compile(r'<span class="page-nav"[^>]*>(.*?)</span>', re.S)
+
+
+def parse_standard_html(html: str):
+    """STUB: real-web HTML (the reference's Sogou/Tianyancha pages,
+    weixin_public.py:159-163) needs a tolerant parser — lxml or
+    selectolax — that this container does not ship. In production,
+    swap it in HERE and route the extraction functions below through
+    the resulting tree; the Spark-side plumbing (Arrow UDF signatures,
+    schemas, batch shapes in parse/udfs.py) is identical. The sandbox
+    path parses the controlled worldgen dialect by regex instead."""
+    raise NotImplementedError(
+        "standard HTML parsing requires lxml/selectolax; "
+        "this sandbox parses the synthetic worldgen dialect"
+    )
 
 
 def text_flatten(html: str) -> str:
@@ -306,9 +326,16 @@ def _marker_span(html: str, spec: str) -> tuple[int, int] | None:
       tag-last:<tag>    last <tag> element
 
     A bare string (no recognized prefix) is treated as a literal for
-    back-compat. Returns (start, end) byte offsets or None. Paired-tag
-    spans are matched non-greedily — nested same-name tags are out of
-    scope (the reference's marker elements are flat)."""
+    back-compat — which means a bare literal that HAPPENS to start
+    with 'lit:'/'tag-first:'/'tag-last:' is parsed as a prefixed spec,
+    not searched verbatim (ADVICE r2). The escape is the lit: prefix
+    itself: every literal is expressible by prefixing, e.g.
+    ``lit:tag-first: intro`` searches for the text 'tag-first: intro'
+    and ``lit:lit:x`` for 'lit:x'. Rule authors should always write
+    the explicit prefix; the bare form exists only for legacy rows.
+    Returns (start, end) byte offsets or None. Paired-tag spans are
+    matched non-greedily — nested same-name tags are out of scope (the
+    reference's marker elements are flat)."""
     kind, _, arg = spec.partition(":")
     if kind == "lit":
         i = html.find(arg)

@@ -131,7 +131,12 @@ def with_fetch_identity(df: DataFrame) -> DataFrame:
         base = F.xxhash64(F.concat(F.lit(tag + "\x1f"), F.col("url"))).bitwiseAND(
             F.lit(MASK63)
         )
-        return F.pmod(base + F.col("attempt"), F.lit(n)).cast("int")
+        # pmod the 63-bit base BEFORE adding attempt: base + attempt
+        # could wrap past 2^63-1 (negative result, or an ANSI-mode
+        # throw), diverging from the oracle's unbounded-int arithmetic.
+        # (b % n + a) % n == (b + a) % n for non-negative b, a, so
+        # parity with worldgen.fetch_identity is exact (ADVICE r2).
+        return F.pmod(F.pmod(base, F.lit(n)) + F.col("attempt"), F.lit(n)).cast("int")
 
     return (
         df.withColumn("render", render)

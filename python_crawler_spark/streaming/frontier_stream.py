@@ -85,8 +85,13 @@ def stateful_stream_dedup(enriched: DataFrame) -> DataFrame:
     not the batch priority-tuple first-occurrence — a stream has no
     global priority order to win by; the downstream schedule() still
     orders every emitted row deterministically.
+
+    The probe is vectorized (pandas drop_duplicates + isin mask — no
+    per-element Python loop; round-2 verdict #4). State is a Python
+    list of key_hashes, so per-bucket memory is O(unique keys in the
+    bucket); size n_buckets so a bucket's seen set fits an executor —
+    production swaps the state store for RocksDB, which spills.
     """
-    import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = enriched.schema
@@ -94,15 +99,12 @@ def stateful_stream_dedup(enriched: DataFrame) -> DataFrame:
     def dedup(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
-            keep = []
-            for kh in pdf["key_hash"]:
-                if kh in seen:
-                    keep.append(False)
-                else:
-                    seen.add(int(kh))
-                    keep.append(True)
-            out = pdf[pd.Series(keep, index=pdf.index)]
+            # first arrival within the batch wins (order-preserving),
+            # then drop anything already seen in the stream's lifetime
+            first = pdf.drop_duplicates(subset=["key_hash"], keep="first")
+            out = first[~first["key_hash"].isin(seen)]
             if len(out):
+                seen.update(int(k) for k in out["key_hash"])
                 yield out
         state.update((list(seen),))
 

@@ -229,6 +229,23 @@ def test_trim_selector_markers():
     assert H.trim_dom("<p>x</p>", "tag-last:hr", "strip_after") == "<p>x</p>"
 
 
+def test_trim_lit_prefix_escape():
+    """ADVICE r2: a literal whose text starts with a spec prefix is
+    expressible by escaping with lit: — `lit:tag-first: intro` searches
+    the text 'tag-first: intro', `lit:lit:x` the text 'lit:x'."""
+    html = "<p>keep</p>tag-first: intro<p>drop</p>"
+    assert H.trim_dom(html, "lit:tag-first: intro", "strip_after") == "<p>keep</p>"
+    html2 = "<p>keep</p>lit:x<p>drop</p>"
+    assert H.trim_dom(html2, "lit:lit:x", "strip_after") == "<p>keep</p>"
+
+
+def test_parse_standard_html_is_stubbed():
+    """The real-HTML production seam mirrors decode_standard: present,
+    documented, and raising until lxml/selectolax is swapped in."""
+    with pytest.raises(NotImplementedError):
+        H.parse_standard_html("<html><body>real web page</body></html>")
+
+
 def test_trim_idempotence_bounds():
     """Literal-marker trims are idempotent (the marker is consumed by
     the first application). Tag-selector trims are single-application

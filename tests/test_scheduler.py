@@ -58,6 +58,9 @@ def test_canonicalize_col_matches_scalar(spark):
         "http://h.com/p?z=1&a=2",                         # query sort
         "http://h.com",                                   # empty path
         " http://h.com/x ",                               # whitespace
+        "http://h.com/x\n",                               # trailing newline: `$`
+        # matches before it in both Java and Python regex, so a plain
+        # `$` anchor would wrongly send this down the fast path (ADVICE r2)
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {
@@ -78,6 +81,42 @@ def test_canonicalize_col_matches_scalar(spark):
     assert split.count() == len(urls)
     for u in urls:
         assert got2[u] == canonicalize_url(u), u
+
+
+def test_schedule_no_persistent_rdd_growth(spark):
+    """round-2 verdict #2: global_rank_and_cumsum used to persist()
+    the range-partitioned frontier and never unpersist — one leaked
+    full-frontier cache per schedule() call, unbounded growth in a
+    long-lived driver. Now it localCheckpoints (RDD-level blocks the
+    ContextCleaner frees once the plan is garbage-collected): after
+    repeated schedule() calls whose results are dropped, the
+    persistent-RDD count must return to its baseline."""
+    import gc
+    import time as _time
+
+    def rdd_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jmap.keySet().toArray()}
+
+    def pump_gc_until(pred, timeout=30.0):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if pred():
+                return True
+            _time.sleep(0.5)
+        return pred()
+
+    base = rdd_ids()
+    for _ in range(5):
+        plan = schedule(_frontier(spark), n_salts=2, n_range_partitions=8)
+        plan.write.format("noop").mode("overwrite").save()
+        del plan
+    # the ContextCleaner is async and GC-driven; pump until it drains
+    assert pump_gc_until(lambda: rdd_ids() <= base), (
+        f"persistent RDDs leaked by schedule(): {sorted(rdd_ids() - base)}"
+    )
 
 
 def test_unmapped_source_gets_sentinel_rank(spark):
