@@ -1087,12 +1087,24 @@ HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) >= 0.3
 
 
 def q_streaming_fetch_plan(spark, sf_dir):
-    """Structured Streaming end-to-end (non-SQL-expressible, rows-only
-    driver check): events rows become a frontier drop-dir stream; the
-    foreachBatch bridge runs each micro-batch through the SAME batch
-    operators (first-occurrence dedup -> seen anti-join -> priority
-    schedule) with exactly-once checkpointing; returns the appended
-    fetch plan. Deterministic: same input -> same plan rows."""
+    """Structured Streaming end-to-end: events rows become a frontier
+    drop-dir stream; the foreachBatch bridge runs each micro-batch
+    through the SAME batch operators (first-occurrence dedup -> seen
+    anti-join -> priority schedule) with exactly-once checkpointing;
+    returns the appended fetch plan.
+
+    Driver-oracled (round-2 verdict #3): only the foreachBatch
+    MECHANICS are non-SQL — the derived rows are plain window SQL
+    (rank + exclusive cumsum over the priority tuple), so the oracle
+    recomputes them directly over `events`. Determinism requirements
+    baked in: the drop dir is 4 files < maxFilesPerTrigger, so exactly
+    ONE micro-batch runs (ref_seq is global, not per-epoch), and
+    (page_no, link_idx) = divmod(event_id, 100) makes the priority
+    tuple total — no rank ties for task timing to break. Projection
+    excludes the xxhash64-derived columns (key_hash, host_salt/rank):
+    Spark's xxhash64 is not reproducible in DuckDB SQL; those columns
+    are oracle-checked elsewhere (url_kernel, frontier_schedule) and
+    pinned by the e2e simulator tests."""
     import tempfile
 
     from python_crawler_spark.streaming.frontier_stream import (
@@ -1113,7 +1125,7 @@ def q_streaming_fetch_plan(spark, sf_dir):
         F.col("user_id").cast("int").alias("seed_id"),
         F.col("user_id").cast("int").alias("line_no"),
         F.lit(2).alias("stage"),
-        F.lit(0).alias("page_no"),
+        (F.col("event_id") / 100).cast("int").alias("page_no"),
         (F.col("event_id") % 100).cast("int").alias("link_idx"),
         F.lit(0).alias("attempt"),
         F.lit(1).alias("depth"),
@@ -1136,10 +1148,36 @@ def q_streaming_fetch_plan(spark, sf_dir):
     q.awaitTermination()
     plan = spark.read.parquet(out)
     return plan.select(
-        "url", "key_hash", "host", "ref_seq",
+        "url", "host", "ref_seq",
         F.round("ref_virtual_ts", 3).alias("ref_virtual_ts"),
-        "host_rank",
     ).orderBy("ref_seq")
+
+
+# The streaming bridge's DERIVED ROWS are plain window SQL: all rows
+# share one source (rank const) and pass dedup (event_id unique, seen
+# empty), so ref_seq = rank over (line_no=user_id, page_no, link_idx)
+# and ref_virtual_ts = 3.0 * (rank - 1) (constant crawl_delay).
+SQL_STREAMING_FETCH_PLAN = """
+WITH rows_ AS (
+  SELECT
+    'http://h' || CAST(user_id % 50 AS VARCHAR) || '.example.com/n/'
+      || CAST(event_id AS VARCHAR) AS url,
+    'h' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+    user_id AS line_no,
+    event_id // 100 AS page_no,
+    event_id % 100 AS link_idx
+  FROM events WHERE event_id < 2000
+)
+SELECT
+  url,
+  host,
+  ROW_NUMBER() OVER (ORDER BY line_no, page_no, link_idx) AS ref_seq,
+  CAST(3.0 AS DOUBLE)
+    * (ROW_NUMBER() OVER (ORDER BY line_no, page_no, link_idx) - 1)
+    AS ref_virtual_ts
+FROM rows_
+ORDER BY ref_seq
+"""
 
 
 _ROBOTS_PREFIX_RULES = [
@@ -1269,7 +1307,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_bpe_count": q_token_bpe_count,
     "embed_cosine_dedup": q_embed_cosine_dedup,
     "robots_prefix_gate": q_robots_prefix_gate,
-    # non-SQL-expressible (Structured Streaming) -> rows-only check
     "streaming_fetch_plan": q_streaming_fetch_plan,
 }
 
@@ -1307,4 +1344,5 @@ ORACLE_SQL: dict[str, str] = {
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,
     "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
     "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
+    "streaming_fetch_plan": SQL_STREAMING_FETCH_PLAN,
 }

@@ -1,6 +1,8 @@
 """Local emulation of the driver's DuckDB-oracle comparison: run every
 queries() entry and its oracle_sql() at sf0.01, compare row counts,
-column names, and order-insensitive values."""
+column names, and order-insensitive values. Uses __spark_entry__ (the
+actual driver contract), so the engine-end-to-end `crawl_fetch_schedule`
+and its simulator-golden oracle are checked too."""
 
 from __future__ import annotations
 
@@ -12,8 +14,11 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-from python_crawler_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+import __spark_entry__ as _entry  # noqa: E402
 from python_crawler_spark.session import get_spark  # noqa: E402
+
+QUERIES = _entry.queries()
+ORACLE_SQL = _entry.oracle_sql()
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -9,21 +9,29 @@ from python_crawler_spark.queries import ORACLE_SQL, QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# entries intentionally WITHOUT a SQL oracle (rows-only driver check)
-NON_SQL = {"streaming_fetch_plan"}
-
-
 def test_registry_alignment():
-    assert set(QUERIES) - set(ORACLE_SQL) == NON_SQL
-    assert set(ORACLE_SQL) <= set(QUERIES)
+    # every query carries a DuckDB oracle since round 3 (streaming's
+    # derived rows are window SQL; the engine e2e is simulator-golden)
+    assert set(QUERIES) == set(ORACLE_SQL)
 
 
 def test_entry_module_contract():
     import __spark_entry__ as E
 
     q, o = E.queries(), E.oracle_sql()
-    assert set(q) - set(o) == NON_SQL | {"crawl_fetch_schedule"}
+    assert set(q) == set(o)  # 35/35: no no_oracle rows left
     assert callable(q["frontier_schedule"])
+    golden = o["crawl_fetch_schedule"]
+    assert golden.count("\n(") + golden.count(",\n(") >= 1  # VALUES rows present
+
+
+def test_golden_schedule_sql_is_deterministic():
+    """The engine oracle is generated per call from the simulator —
+    two generations must be byte-identical (no wall clock, no dict
+    ordering hazards), or the driver's hash gate would flake."""
+    import __spark_entry__ as E
+
+    assert E.golden_schedule_sql() == E.golden_schedule_sql()
 
 
 @pytest.mark.parametrize(
