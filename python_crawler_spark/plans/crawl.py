@@ -604,6 +604,7 @@ class CrawlRun:
         last = store.latest_round()
         if last is None:
             return run
+        store.verify_round(spark, last)  # per-partition lineage gate
         run.round = last + 1
         run.seen = store.read(spark, last, "seen").localCheckpoint(eager=True)
         for name in ("fetch_log", "articles", "articles_text", "companies", "images"):

@@ -277,8 +277,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return out
 
 
-SQL_NGRAM_JACCARD_PAIRS = f"""
-WITH words AS (
+# CTE body shared by SQL_NGRAM_JACCARD_PAIRS and SQL_DEDUP_CLUSTERS
+_NGRAM_PAIRS_CTES = f"""words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), grams AS (
   SELECT DISTINCT doc_id,
@@ -300,10 +300,94 @@ WITH words AS (
   GROUP BY p.a, p.b
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), pj AS (
+  SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+)"""
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT a, b, jaccard FROM pj
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate CLUSTERS over the near-dup pair
+    graph — the step a training-data dedup pipeline runs after pair
+    generation: transitively merge pairs into components, elect the
+    min doc_id as the cluster's canonical survivor, drop the rest.
+
+    Edges are the n-gram Jaccard pairs (J >= 0.8, ngram_jaccard_pairs).
+    Clustering is iterative min-label propagation: every round each
+    vertex takes the min label among itself and its neighbors — one
+    equi-join shuffle per round, all JVM-side. Near-dup components are
+    near-cliques (every member overlaps the same content), so diameter
+    is tiny and this converges in 2-3 rounds; for adversarial
+    long-chain graphs production swaps in large-star/small-star
+    (O(log n) rounds) built from the SAME join primitive. The driver
+    loop's count() per round is loop-termination only.
+
+    Output: (doc_id, cluster, keep) — keep marks the survivor."""
+    pairs = (
+        q_ngram_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # edges reused every round
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # bound >> near-dup component diameter
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
+    )
+
+
+# Oracle: transitive closure by recursive CTE — every vertex reaches
+# the labels of everything in its component; MIN(reached) = the same
+# min-label the propagation converges to.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT a AS src, b AS dst FROM pj UNION ALL SELECT b, a FROM pj
+),
+reach(doc, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
 )
-SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+SELECT doc AS doc_id, MIN(r) AS cluster, (MIN(r) = doc) AS keep
+FROM reach GROUP BY doc
 """
 
 
@@ -1283,6 +1367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
     "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -1320,6 +1405,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash_dedup": SQL_SIMHASH_DEDUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_bucket_stats": SQL_LSH_BUCKET_STATS,

@@ -19,6 +19,40 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+_LINEAGE_BUCKETS = 64  # checksum partitioning constant, not a run config
+
+
+def _partition_lineage(df: DataFrame) -> dict | None:
+    """Per-bucket lineage record for a snapshot state table: row count
+    + order-independent XOR checksum per bucket. Hash-bucketed tables
+    (seen, fetch_log) use their native (bucket, key_hash); URL-keyed
+    tables without those columns (the frontier) derive
+    bucket=pmod(xxhash64(url), 64) and checksum xxhash64(all columns),
+    so a dropped row OR a mutated column flips the XOR. O(#buckets)
+    driver data (bucket count is a constant, never row-proportional),
+    so this scales to any frontier size. North_rule: 'resumes with
+    per-partition lineage and fetch/dedup metrics'."""
+    if "bucket" in df.columns and "key_hash" in df.columns:
+        bucket, csum = F.col("bucket"), F.col("key_hash")
+    elif "url" in df.columns:
+        bucket = F.pmod(F.xxhash64("url"), F.lit(_LINEAGE_BUCKETS))
+        # MAP columns are not hashable in Spark (same map, different
+        # hashcode) — checksum over every non-MAP column
+        hashable = [
+            f.name for f in df.schema.fields if "MapType" not in f.dataType.__repr__()
+        ]
+        csum = F.xxhash64(*[F.col(c) for c in hashable])
+    else:
+        return None
+    rows = (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.bit_xor(csum).alias("x"))
+        .collect()
+    )
+    return {str(r["bucket"]): [int(r["n"]), int(r["x"])] for r in rows}
 
 
 class SnapshotStore:
@@ -30,17 +64,43 @@ class SnapshotStore:
         return self.root / f"round={r}"
 
     def write_round(self, r: int, tables: dict[str, DataFrame], meta: dict) -> None:
-        """Write all tables for round r, then commit the manifest."""
+        """Write all tables for round r, then commit the manifest.
+        Hash-bucketed state tables (frontier/seen) get a per-partition
+        lineage record in the manifest — count + key_hash XOR per
+        bucket — so a resume can verify partition integrity before
+        trusting the snapshot (:meth:`verify_round`)."""
         rdir = self._round_dir(r)
         written = {}
+        lineage = {}
         for name, df in tables.items():
             path = str(rdir / name)
             df.write.mode("overwrite").parquet(path)
             written[name] = path
-        manifest = {"round": r, "tables": written, **meta}
+            lin = _partition_lineage(df)
+            if lin is not None:
+                lineage[name] = lin
+        manifest = {"round": r, "tables": written, "lineage": lineage, **meta}
         tmp = rdir / "manifest.json.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
         tmp.rename(rdir / "manifest.json")  # atomic commit point
+
+    def verify_round(self, spark: SparkSession, r: int) -> None:
+        """Recompute every lineage-tracked table's per-bucket (count,
+        key_hash XOR) from the stored parquet and compare to the
+        manifest — raises ValueError naming the first diverging
+        (table, bucket) on corruption/truncation."""
+        recorded = self.manifest(r).get("lineage", {})
+        for name, want in recorded.items():
+            got = _partition_lineage(self.read(spark, r, name))
+            if got != want:
+                bad = sorted(
+                    set(want) ^ set(got)
+                    | {b for b in set(want) & set(got) if want[b] != got[b]}
+                )
+                raise ValueError(
+                    f"snapshot round={r} table={name}: per-partition lineage "
+                    f"mismatch at buckets {bad[:5]}"
+                )
 
     def latest_round(self) -> int | None:
         """Highest round with a committed manifest (crash-safe)."""

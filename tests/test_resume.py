@@ -61,6 +61,33 @@ def test_latest_round_ignores_uncommitted(tmp_path):
     assert store.latest_round() is None  # no manifest -> not committed
 
 
+def test_partition_lineage_detects_corruption(spark, tmp_path):
+    """North_rule: snapshots carry per-partition lineage (per-bucket
+    count + key_hash XOR); verify_round passes on intact state and
+    names the table when a bucket's rows are lost."""
+    import pytest
+
+    store = SnapshotStore(tmp_path / "snap")
+    run = CrawlRun(spark, CrawlConfig(spec=SPEC, n_buckets=8), store=store)
+    frontier = run.initial_frontier()
+    frontier = run.run_round(frontier)
+    run.metrics.append({"round": 0, "frontier_in": -1})
+    run._snapshot(frontier)
+
+    assert "seen" in store.manifest(0)["lineage"]
+    assert "frontier_next" in store.manifest(0)["lineage"]
+    store.verify_round(spark, 0)  # intact -> passes
+
+    # drop one bucket's rows from the stored seen table (simulated
+    # partial write / corruption), keeping the manifest untouched
+    seen = store.read(spark, 0, "seen")
+    some_bucket = int(seen.select("bucket").first()["bucket"])
+    truncated = seen.filter(f"bucket != {some_bucket}").localCheckpoint(eager=True)
+    truncated.write.mode("overwrite").parquet(str(store.root / "round=0" / "seen"))
+    with pytest.raises(ValueError, match="table=seen"):
+        store.verify_round(spark, 0)
+
+
 def test_order_invariant_to_parallelism(tmp_path):
     """Same input, genuinely different parallelism (fresh subprocess
     JVMs at local[1] and local[8]) -> byte-identical fetch order,
