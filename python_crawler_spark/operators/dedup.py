@@ -186,23 +186,33 @@ def dedup_against_seen(
     broadcast_max_bytes: int = BLOOM_BROADCAST_MAX_BYTES,
     seen_unique: bool = False,
     filters_total_bytes: int | None = None,
+    prefilter_broadcast=None,
+    prefilter=None,
+    size_expr: str = "m_bits / 8",
 ) -> DataFrame:
-    """Full two-phase historical dedup: bloom prefilter (when filters
-    provided) then exact anti-join on ONLY the probable-positive rows.
-    Correct under Bloom false positives because the exact join is the
-    last word; no false negatives by Bloom construction.
+    """Full two-phase historical dedup: probabilistic prefilter (when
+    filters provided) then exact anti-join on ONLY the probable-positive
+    rows. Correct under prefilter false positives because the exact
+    join is the last word; no false negatives by filter construction.
+
+    The prefilter defaults to the per-bucket Bloom pair; pass the
+    cuckoo pair (:mod:`operators.cuckoo`, via
+    ``dedup_against_seen_cuckoo``) for deletable filters with ~60x
+    lower FPR at 3x the bits/item.
 
     Physical strategy is adaptive: filters small enough to broadcast
     -> per-executor probe (no shuffle); otherwise cogrouped probe
     co-partitioned by bucket (the 10^10-seen path)."""
     if filters is not None:
+        pb = prefilter_broadcast or bloom_prefilter_broadcast
+        pc = prefilter or bloom_prefilter
         total = filters_total_bytes
         if total is None:
-            total = filters.agg(F.sum(F.expr("m_bits / 8"))).first()[0] or 0
+            total = filters.agg(F.sum(F.expr(size_expr))).first()[0] or 0
         if total <= broadcast_max_bytes:
-            flagged = bloom_prefilter_broadcast(cand, filters, key=key)
+            flagged = pb(cand, filters, key=key)
         else:
-            flagged = bloom_prefilter(cand, filters, key=key)
+            flagged = pc(cand, filters, key=key)
         # single anti-join with a compound condition: rows with
         # might_seen=false can never match, so they pass through
         # WITHOUT a second evaluation of the upstream pipeline (a

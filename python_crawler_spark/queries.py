@@ -169,6 +169,46 @@ GROUP BY c_mktsegment
 """
 
 
+def q_cuckoo_dedup(spark, sf_dir):
+    """J1 via the cuckoo-filter prefilter (north_rule: 'Bloom/cuckoo-
+    filter URL-seen set ... per hash-bucketed partition via vectorized
+    pandas/Arrow UDFs'): seen = texts of docs with doc_id%3==0,
+    candidates = docs with doc_id%2==0; per-bucket cuckoo filters
+    built from the seen hashes, broadcast/cogroup probe, then the
+    exact compound-condition anti-join — so the RESULT is exact and
+    plain SQL can arbitrate it, while the plan exercises the real
+    operators (operators/cuckoo.py)."""
+    from python_crawler_spark.operators.cuckoo import (
+        build_cuckoo_filters,
+        dedup_against_seen_cuckoo,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def keyed(df):
+        return df.select(
+            "doc_id",
+            "source",
+            F.xxhash64("text").alias("key_hash"),
+            F.pmod(F.xxhash64("text"), F.lit(16)).cast("int").alias("bucket"),
+        )
+
+    seen = keyed(docs.filter(F.col("doc_id") % 3 == 0))
+    cand = keyed(docs.filter(F.col("doc_id") % 2 == 0))
+    filters = build_cuckoo_filters(seen)
+    out = dedup_against_seen_cuckoo(cand, seen, filters)
+    return out.groupBy("source").agg(F.count("*").alias("n_new"))
+
+
+SQL_CUCKOO_DEDUP = """
+SELECT c.source, count(*) AS n_new
+FROM documents c
+WHERE c.doc_id % 2 = 0
+  AND c.text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)
+GROUP BY c.source
+"""
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact content dedup: distinct text-hash count per source."""
     docs = _t(spark, sf_dir, "documents")
@@ -324,50 +364,20 @@ def q_dedup_clusters(spark, sf_dir):
     equi-join shuffle per round, all JVM-side. Near-dup components are
     near-cliques (every member overlaps the same content), so diameter
     is tiny and this converges in 2-3 rounds; for adversarial
-    long-chain graphs production swaps in large-star/small-star
-    (O(log n) rounds) built from the SAME join primitive. The driver
-    loop's count() per round is loop-termination only.
+    long-chain graphs use operators.components.cc_alternating_stars
+    (large-star/small-star, O(log n) rounds, same join primitive,
+    property-tested equal to this path). The driver loop's count()
+    per round is loop-termination only.
 
     Output: (doc_id, cluster, keep) — keep marks the survivor."""
+    from python_crawler_spark.operators.components import cc_label_propagation
+
     pairs = (
         q_ngram_jaccard_pairs(spark, sf_dir)
         .select("a", "b")
         .localCheckpoint(eager=True)  # edges reused every round
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(20):  # bound >> near-dup component diameter
-        nbr_min = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy("a")
-            .agg(F.min("cluster").alias("nbr_cluster"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .localCheckpoint(eager=True)  # truncate per-round lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = cc_label_propagation(pairs)
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
     )
@@ -389,6 +399,26 @@ reach(doc, r) AS (
 SELECT doc AS doc_id, MIN(r) AS cluster, (MIN(r) = doc) AS keep
 FROM reach GROUP BY doc
 """
+
+
+def q_dedup_clusters_stars(spark, sf_dir):
+    """Same duplicate-cluster semantics as q_dedup_clusters, computed
+    by the large-star/small-star algorithm
+    (operators.components.cc_alternating_stars — O(log n) rounds on
+    any graph shape, the 100 TB path when the pair graph may contain
+    long chains). Shares the transitive-closure oracle: both
+    algorithms MUST produce the identical min-label clustering."""
+    from python_crawler_spark.operators.components import cc_alternating_stars
+
+    pairs = (
+        q_ngram_jaccard_pairs(spark, sf_dir)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    labels = cc_alternating_stars(pairs)
+    return labels.select(
+        "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
+    )
 
 
 def q_simhash_dedup(spark, sf_dir):
@@ -1364,10 +1394,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "hourly_window_agg": q_hourly_window_agg,
     "anti_join_dedup": q_anti_join_dedup,
+    "cuckoo_dedup": q_cuckoo_dedup,
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_stars": q_dedup_clusters_stars,
     "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
     "lsh_bucket_stats": q_lsh_bucket_stats,
@@ -1402,10 +1434,12 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "hourly_window_agg": SQL_HOURLY_WINDOW_AGG,
     "anti_join_dedup": SQL_ANTI_JOIN_DEDUP,
+    "cuckoo_dedup": SQL_CUCKOO_DEDUP,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_stars": SQL_DEDUP_CLUSTERS,
     "simhash_dedup": SQL_SIMHASH_DEDUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_bucket_stats": SQL_LSH_BUCKET_STATS,

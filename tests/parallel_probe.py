@@ -12,6 +12,7 @@ counts.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import sys
 
@@ -35,10 +36,28 @@ def main(cores: int, out_path: str) -> None:
         .collect()
     ]
     seen = sorted(r["dedup_key"] for r in results["seen"].select("dedup_key").collect())
+    # pixel/caption invariants (north_rule): per-image decoded-byte
+    # digest + caption + phash + dims must be identical across cluster
+    # sizes, not just the row count
+    images = sorted(
+        (
+            r["image_id"],
+            r["caption"],
+            hashlib.md5(bytes(r["bytes"])).hexdigest(),
+            int(r["phash"]),
+            int(r["w"]),
+            int(r["h"]),
+            r["fmt"],
+        )
+        for r in results["images"]
+        .select("image_id", "caption", "bytes", "phash", "w", "h", "fmt")
+        .collect()
+    )
     payload = {
         "cores": cores,
         "order": order,
         "seen": seen,
+        "images": images,
         "n_articles": results["articles"].count(),
         "n_images": results["images"].count(),
     }

@@ -90,17 +90,18 @@ def test_partition_lineage_detects_corruption(spark, tmp_path):
 
 def test_order_invariant_to_parallelism(tmp_path):
     """Same input, genuinely different parallelism (fresh subprocess
-    JVMs at local[1] and local[8]) -> byte-identical fetch order,
-    virtual clocks, seen set, and output counts — the sandbox evidence
-    for the two-cluster-size rule (the throughput half lives in
-    BENCH/bench_scaling.py). Sequential subprocesses so the JVMs never
-    compete for host cores."""
+    JVMs at local[2] = N and local[8] = 4N, the north_rule's literal
+    two cluster sizes) -> byte-identical fetch order, virtual clocks,
+    seen set, per-image pixel digest + caption + phash, and output
+    counts — the sandbox evidence for the two-cluster-size rule (the
+    throughput half lives in BENCH/bench_scaling.py). Sequential
+    subprocesses so the JVMs never compete for host cores."""
     import json
     import subprocess
     import sys
 
     outs = {}
-    for cores in (1, 8):
+    for cores in (2, 8):
         out = tmp_path / f"probe_{cores}.json"
         proc = subprocess.run(
             [sys.executable, "-m", "tests.parallel_probe", str(cores), str(out)],
@@ -111,8 +112,9 @@ def test_order_invariant_to_parallelism(tmp_path):
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         outs[cores] = json.loads(out.read_text())
-    a, b = outs[1], outs[8]
+    a, b = outs[2], outs[8]
     assert a["order"] == b["order"]
     assert a["seen"] == b["seen"]
+    assert a["images"] == b["images"]  # pixel digest/caption/phash/dims
     assert a["n_articles"] == b["n_articles"]
     assert a["n_images"] == b["n_images"]
