@@ -28,7 +28,7 @@ from .functions.hashing import bucket_col
 from .functions.urls import canonicalize_split
 from .operators import gating
 from .operators.dedup import batch_first_occurrence, build_bloom_filters, dedup_against_seen
-from .operators.scheduler import PRIORITY_COLS, schedule
+from .operators.scheduler import PRIORITY_COLS, free_schedule_checkpoints, schedule
 from .parse.udfs import canonicalize_urls_udf
 from .plans.crawl import crawl_delay_col
 
@@ -165,6 +165,7 @@ def timed_schedule(
     # measured. Unpersist exactly the RDDs this rep checkpointed
     # (never the long-lived seen/filters state).
     _unpersist_rdds(spark, _persistent_rdd_ids(spark) - pre_ckpt_ids)
+    free_schedule_checkpoints(spark)  # clears the scheduler's registry too
     return dt, scheduled
 
 

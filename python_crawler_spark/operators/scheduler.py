@@ -35,6 +35,38 @@ from pyspark.sql import functions as F
 
 PRIORITY_COLS = ["source_rank", "line_no", "stage", "page_no", "link_idx", "attempt"]
 
+# RDD ids localCheckpointed by global_rank_and_cumsum and not yet freed.
+# The ContextCleaner frees checkpoint blocks eventually (once the plan is
+# garbage-collected), but "eventually" is GC-heuristic-dependent; callers
+# that materialize the returned plan should free the blocks
+# deterministically via free_schedule_checkpoints. Single-threaded-driver
+# assumption: the pre/post persistent-id diff that fills this registry is
+# not safe against concurrent checkpointing jobs in the same JVM.
+_ckpt_rdd_ids: list[int] = []
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def free_schedule_checkpoints(spark) -> int:
+    """Unpersist every checkpoint block a prior schedule() /
+    global_rank_and_cumsum call registered, deterministically (no GC
+    dependence). Call AFTER the returned plan has been materialized
+    (written / collected / checkpointed downstream); the blocks are
+    only needed to compute that plan once. Returns how many RDDs were
+    freed. Idempotent: already-collected ids are skipped."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    freed = 0
+    wanted = set(_ckpt_rdd_ids)
+    for rid in jmap.keySet().toArray():
+        if int(rid) in wanted:
+            jmap.get(rid).unpersist(False)
+            freed += 1
+    _ckpt_rdd_ids.clear()
+    return freed
+
 SOURCE_RANK = {"weixin": 0, "chuansongmen": 1, "tianyan": 2}
 
 # frontier stages: list/search pages fetch before any of their children
@@ -99,8 +131,13 @@ def global_rank_and_cumsum(
     # and are freed by the ContextCleaner as soon as the returned
     # DataFrame is garbage-collected — the same lifecycle as every
     # other checkpoint in this engine (tested: persistent-RDD count is
-    # flat across repeated schedule() calls).
+    # flat across repeated schedule() calls). The id is registered so
+    # callers can free the blocks deterministically once the plan is
+    # materialized (free_schedule_checkpoints) instead of waiting on GC.
+    spark = df.sparkSession
+    pre_ids = _persistent_rdd_ids(spark)
     dfp = dfp.localCheckpoint(eager=True)
+    _ckpt_rdd_ids.extend(_persistent_rdd_ids(spark) - pre_ids)
     totals = (
         dfp.groupBy(*part, "_pid")
         .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))

@@ -45,6 +45,7 @@ from ..operators.scheduler import (
     STAGE_CHILD,
     STAGE_LIST,
     STAGE_ROOT,
+    free_schedule_checkpoints,
     schedule,
 )
 from ..parse.udfs import (
@@ -532,6 +533,12 @@ class CrawlRun:
         new = dedup_against_seen(cand, self.seen, filters)  # J1
         plan = schedule(new, n_salts=cfg.n_salts)
         fetched = self._fetch(plan).localCheckpoint(eager=True)
+        # `fetched` is materialized above, so the scheduler's internal
+        # range-partitioned checkpoint is no longer reachable from any
+        # live plan — free it now instead of waiting for the
+        # ContextCleaner (one leaked full-frontier cache per round
+        # otherwise, round-2 verdict #2).
+        free_schedule_checkpoints(self.spark)
 
         log_cols = [
             "url", "canon_url", "dedup_key", "key_hash", "bucket", "host",
@@ -637,7 +644,14 @@ class CrawlRun:
     def fetch_order(self) -> DataFrame:
         """The replay artifact: every fetch with its global per-source
         sequence + virtual clock, reconstructed by SORT over the
-        priority tuple (O4) — never by task timing."""
+        priority tuple (O4) — never by task timing.
+
+        Lifecycle note: each call localCheckpoints the range-partitioned
+        fetch log internally; after materializing the returned plan,
+        callers that loop should call
+        ``operators.scheduler.free_schedule_checkpoints(spark)`` to free
+        those blocks deterministically (the ContextCleaner frees them on
+        GC otherwise)."""
         return schedule(self.fetch_log, n_salts=self.cfg.n_salts).orderBy(
             "source_rank", "ref_seq"
         )

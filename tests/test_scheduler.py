@@ -87,36 +87,29 @@ def test_schedule_no_persistent_rdd_growth(spark):
     """round-2 verdict #2: global_rank_and_cumsum used to persist()
     the range-partitioned frontier and never unpersist — one leaked
     full-frontier cache per schedule() call, unbounded growth in a
-    long-lived driver. Now it localCheckpoints (RDD-level blocks the
-    ContextCleaner frees once the plan is garbage-collected): after
-    repeated schedule() calls whose results are dropped, the
-    persistent-RDD count must return to its baseline."""
-    import gc
-    import time as _time
+    long-lived driver. Now it localCheckpoints and registers the
+    checkpointed RDD so free_schedule_checkpoints can unpersist it
+    deterministically once the plan is materialized (the GC-driven
+    ContextCleaner remains only as a backstop for callers that forget;
+    its timing is heuristic, so this test exercises the deterministic
+    path the engine's own call sites use — CrawlRun.run_round and
+    bench_frontier.timed_schedule)."""
+    from python_crawler_spark.operators.scheduler import free_schedule_checkpoints
 
     def rdd_ids():
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(i) for i in jmap.keySet().toArray()}
 
-    def pump_gc_until(pred, timeout=30.0):
-        deadline = _time.time() + timeout
-        while _time.time() < deadline:
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if pred():
-                return True
-            _time.sleep(0.5)
-        return pred()
-
     base = rdd_ids()
     for _ in range(5):
         plan = schedule(_frontier(spark), n_salts=2, n_range_partitions=8)
         plan.write.format("noop").mode("overwrite").save()
-        del plan
-    # the ContextCleaner is async and GC-driven; pump until it drains
-    assert pump_gc_until(lambda: rdd_ids() <= base), (
-        f"persistent RDDs leaked by schedule(): {sorted(rdd_ids() - base)}"
-    )
+        freed = free_schedule_checkpoints(spark)
+        assert freed >= 1, "schedule() registered no checkpoint to free"
+    leaked = rdd_ids() - base
+    assert not leaked, f"persistent RDDs leaked by schedule(): {sorted(leaked)}"
+    # idempotent: nothing left to free
+    assert free_schedule_checkpoints(spark) == 0
 
 
 def test_unmapped_source_gets_sentinel_rank(spark):
