@@ -1116,8 +1116,8 @@ _PH_SIG_SQL = " + ".join(
     f"(CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
     for b in range(_PH_BITS)
 )
-SQL_PHASH_HAMMING = f"""
-WITH words AS (
+# CTE body shared by SQL_PHASH_HAMMING and SQL_PHASH_CLUSTERS
+_PH_PAIRS_CTES = f"""words AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
 ), hashed AS (
   SELECT doc_id, source, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
@@ -1131,13 +1131,64 @@ WITH words AS (
   SELECT doc_id, source, ph, t.bi AS bi,
          (ph >> ({_PH_BAND_BITS} * t.bi)) & {2 ** _PH_BAND_BITS - 1} AS bv
   FROM d, (SELECT unnest(generate_series(0, {_PH_BANDS - 1})) AS bi) t
+), ppairs AS (
+  SELECT DISTINCT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.ph, b.ph)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.source = b.source AND a.bi = b.bi AND a.bv = b.bv
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_THRESH}
+)"""
+
+SQL_PHASH_HAMMING = f"""
+WITH {_PH_PAIRS_CTES}
+SELECT source, da, db, hamming FROM ppairs
+"""
+
+
+def q_phash_clusters(spark, sf_dir):
+    """Image-duplicate CLUSTERS (the image-side twin of
+    dedup_clusters): connected components over the phash Hamming pair
+    graph (phash_hamming — 60-bit perceptual signature, banded-LSH
+    pairs at Hamming <= 9 within source), min doc_id elected as each
+    cluster's canonical survivor.
+
+    Unlike n-gram Jaccard components (near-cliques), Hamming-ball
+    graphs CHAIN: A~B and B~C at distance 9 while A vs C is 18, so
+    component diameter is unbounded — alternating large-star/
+    small-star (operators.components.cc_alternating_stars, Kiveris et
+    al. 2014, O(log n) rounds) is the right default here, not
+    propagation. Edges reuse the banded pair join (plan-asserted
+    non-cartesian in tests/test_queries_contract.py).
+
+    Output: (doc_id, cluster, keep) — keep marks the survivor."""
+    from python_crawler_spark.operators.components import cc_alternating_stars
+
+    pairs = (
+        q_phash_hamming(spark, sf_dir)
+        .select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .localCheckpoint(eager=True)  # edges reused every round
+    )
+    labels = cc_alternating_stars(pairs)
+    return labels.select(
+        "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
+    )
+
+
+# Oracle: same recursive-CTE transitive closure as SQL_DEDUP_CLUSTERS,
+# over the phash pair graph.
+SQL_PHASH_CLUSTERS = f"""
+WITH RECURSIVE {_PH_PAIRS_CTES},
+edges AS (
+  SELECT da AS src, db AS dst FROM ppairs UNION ALL SELECT db, da FROM ppairs
+),
+reach(doc, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
 )
-SELECT DISTINCT a.source AS source, a.doc_id AS da, b.doc_id AS db,
-       bit_count(xor(a.ph, b.ph)) AS hamming
-FROM bands a JOIN bands b
-  ON a.source = b.source AND a.bi = b.bi AND a.bv = b.bv
- AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ph, b.ph)) <= {_PH_THRESH}
+SELECT doc AS doc_id, MIN(r) AS cluster, (MIN(r) = doc) AS keep
+FROM reach GROUP BY doc
 """
 
 
@@ -1421,6 +1472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_edit": q_suffix_edit,
     "ivf_ann": q_ivf_ann,
     "phash_hamming": q_phash_hamming,
+    "phash_clusters": q_phash_clusters,
     "token_bpe_count": q_token_bpe_count,
     "embed_cosine_dedup": q_embed_cosine_dedup,
     "robots_prefix_gate": q_robots_prefix_gate,
@@ -1461,6 +1513,7 @@ ORACLE_SQL: dict[str, str] = {
     "suffix_edit": SQL_SUFFIX_EDIT,
     "ivf_ann": SQL_IVF_ANN,
     "phash_hamming": SQL_PHASH_HAMMING,
+    "phash_clusters": SQL_PHASH_CLUSTERS,
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,
     "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
     "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
