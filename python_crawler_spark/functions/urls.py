@@ -65,6 +65,47 @@ def canonicalize_url(url: str) -> str:
 # scalar canonicalizer that strips the whitespace (ADVICE r2).
 _FAST_CANONICAL_RE = r"^https?://[a-z0-9.\-]+/[^?#\s]*(?![\s\S])"
 
+# Java-regex \s (no MULTILINE/UNICODE flags) is exactly these six
+# ASCII chars — the builtin predicate below must match rlike's
+# semantics bit-for-bit (property-tested in test_kernels).
+_JAVA_WS = " \t\n\x0b\f\r"
+_HOST_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789.-"
+
+
+def fast_canonical_pred(url: Column) -> Column:
+    """JVM predicate equivalent to ``url rlike _FAST_CANONICAL_RE``,
+    built from codegen string primitives (startswith/locate/substring/
+    translate — single linear passes, no java.util.regex). Measured 8x
+    faster than the rlike on an 8M-row frontier (1.5s vs 12.6s at
+    local[32]): java.util.regex allocates a Matcher per row and
+    backtracks through the char-class runs, while translate is one
+    table-lookup pass.
+
+    Decomposition of ^https?://[a-z0-9.\\-]+/[^?#\\s]*(?![\\s\\S]):
+      - scheme: startswith http:// or https://
+      - host: chars between the scheme and the FIRST '/' after it are
+        a non-empty run of [a-z0-9.-] (translate deletes legal chars;
+        empty residue = all legal)
+      - a '/' exists after the host (locate > 0)
+      - nowhere in the url: '?', '#', or Java \\s whitespace (global
+        translate check; scheme/host literals can't contain them, so
+        global == path-only)
+    """
+    # 1-based host start: len("http://")+1 = 8, len("https://")+1 = 9
+    is_https = url.startswith("https://")
+    hs = F.when(is_https, F.lit(9)).otherwise(F.lit(8))
+    # first '/' strictly after the scheme (locate's pos must be a
+    # literal, hence the branch)
+    slash = F.when(is_https, F.locate("/", url, 10)).otherwise(F.locate("/", url, 9))
+    host = url.substr(hs, slash - hs)
+    return (
+        (url.startswith("http://") | is_https)
+        & (slash > 0)
+        & (F.length(host) > 0)
+        & (F.translate(host, _HOST_CHARS, "") == "")
+        & (F.translate(url, "?#" + _JAVA_WS, "") == url)
+    )
+
 
 def canonicalize_urls(urls: pd.Series) -> pd.Series:
     """Vectorized canonicalizer for the Arrow UDF path.
@@ -118,7 +159,7 @@ def canonicalize_col(url: Column, slow_udf) -> Column:
     for all rows (~12% of the 8M-row scheduling pipeline, measured).
     Prefer :func:`canonicalize_split` on DataFrames — kept for
     call-sites that need a pure Column expression."""
-    fast = url.rlike(_FAST_CANONICAL_RE)
+    fast = fast_canonical_pred(url)
     return F.when(fast, url).otherwise(slow_udf(url))
 
 
@@ -153,7 +194,7 @@ def canonicalize_split(
     touching ``.rdd`` mid-plan finalizes the physical plan under AQE
     and can execute upstream stages as a side effect."""
     url = F.col(url_col)
-    is_fast = url.rlike(_FAST_CANONICAL_RE)
+    is_fast = fast_canonical_pred(url)
     fast = df.filter(is_fast).withColumn(out, url)
     slow = df.filter(~is_fast | url.isNull()).withColumn(out, slow_udf(url_col))
     # A plain union DOUBLES the map-stage partition count (both

@@ -42,6 +42,49 @@ def _frontier(spark, n_per_source=40):
     return spark.createDataFrame(rows, FRONTIER_DDL)
 
 
+def test_fast_canonical_pred_equals_rlike(spark):
+    """fast_canonical_pred (codegen string builtins — 8x faster than
+    java.util.regex on the 8M-row frontier) must agree with
+    `url rlike _FAST_CANONICAL_RE` on EVERY input: a false positive
+    would let a non-canonical URL skip the canonicalizer (correctness
+    bug); a false negative only costs speed but would silently erode
+    the fast path. Corpus covers every branch of the decomposition:
+    scheme, host charset/emptiness, missing path slash, ?/# anywhere,
+    all six Java \\s whitespace chars at every position class,
+    non-ASCII path bytes, and prefix-of-prefix truncations."""
+    from pyspark.sql import functions as F
+
+    from python_crawler_spark.functions.urls import (
+        _FAST_CANONICAL_RE,
+        fast_canonical_pred,
+    )
+
+    ws = [" ", "\t", "\n", "\x0b", "\f", "\r"]
+    urls = [
+        "http://a.com/x", "https://a.com/", "https://h-1.b9.com/p/q.r",
+        "http://a.com/x/y/z.html", "http://a/x", "http://9.8.7.6/x",
+        "HTTP://a.com/x", "htTps://a.com/x", "ftp://a.com/x", "a.com/x",
+        "http://a.com", "https://a.com", "http:///x", "http://///",
+        "http://A.com/x", "http://a_b.com/x", "http://a.com:80/x",
+        "http://a:b@c.com/x", "http://a.com/x?b=1", "http://a.com/?",
+        "http://a.com/x#f", "http://a.com/#", "http://?/x", "http://#/x",
+        "http://a.com/中文", "http://a.com/%20x", "http://a.com//",
+        "http", "https://", "http://", "h", "",
+    ]
+    urls += ["http://a.com/x" + c for c in ws]
+    urls += [c + "http://a.com/x" for c in ws]
+    urls += ["http://a.com/x" + c + "y" for c in ws]
+    urls += ["http://a" + c + "b.com/x" for c in ws]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        fast_canonical_pred(F.col("url")).alias("p"),
+        F.col("url").rlike(_FAST_CANONICAL_RE).alias("r"),
+    ).collect()
+    for r in rows:
+        assert bool(r["p"]) == bool(r["r"]), (r["url"], r["p"], r["r"])
+
+
 def test_canonicalize_col_matches_scalar(spark):
     """The JVM fast-path (codegen regex pass-through) + Arrow slow
     path must equal the scalar canonicalizer on every URL shape —
