@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import bucket_col
-from .functions.urls import canonicalize_split
+from .functions.urls import canonicalize_split, host_col
 from .operators import gating
 from .operators.dedup import batch_first_occurrence, build_bloom_filters, dedup_against_seen
 from .operators.scheduler import PRIORITY_COLS, free_schedule_checkpoints, schedule
@@ -135,7 +135,7 @@ def timed_schedule(
     f = f.withColumn("key_hash", F.xxhash64("canon_url")).drop("canon_url")
     f = f.withColumn("bucket", bucket_col(F.col("key_hash"), N_BUCKETS))
     f = f.withColumn(
-        "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+        "host", host_col(F.col("url"))
     ).drop("title", "summary", "cover", "name")
     f = gating.robots_gate(f, rules)
     f = batch_first_occurrence(f, "key_hash", ["source"] + PRIORITY_COLS[1:])

@@ -209,9 +209,54 @@ def canonicalize_split(
 
 
 def host_col(url: Column) -> Column:
-    """Host of a URL, lowercased, default port stripped — JVM-side."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    return host
+    """Host of a URL, lowercased, port stripped — JVM-side.
+
+    parse_url costs ~4.1s per 8M rows (java.net.URI allocation per
+    row); the common case — an http(s) URL whose authority is a bare
+    lowercase [a-z0-9.-]+ host — is answered by two substring_index
+    passes (0.5s measured). Rows that fail the guard (uppercase, port,
+    userinfo, IPv6 brackets, percent-escapes, non-http schemes) fall
+    back to try_parse_url inside the same CASE WHEN: JVM conditionals
+    evaluate lazily per row, so the slow branch only runs for the
+    irregular minority (unlike Python UDFs, which ArrowEvalPython
+    evaluates unconditionally). try_parse_url, not parse_url: under
+    Spark 4 ANSI mode parse_url THROWS on an invalid URL — one
+    malformed href harvested into a 10^10-row frontier must yield
+    null, not kill the stage."""
+    # everything between '://' and the first subsequent '/' (or end):
+    # substring_index(url, '/', 3) = 'http://host' (returns the whole
+    # string when fewer than 3 slashes exist, i.e. no path — still
+    # correct), then take what follows '://'
+    raw = F.substring_index(F.substring_index(url, "/", 3), "://", -1)
+    ok = (
+        (url.startswith("http://") | url.startswith("https://"))
+        & (F.length(raw) > 0)
+        & (F.translate(raw, _HOST_CHARS, "") == "")
+    )
+    return F.when(ok, raw).otherwise(F.lower(F.try_parse_url(url, F.lit("HOST"))))
+
+
+def path_col(url: Column) -> Column:
+    """Path of a URL (no query/fragment) — JVM-side, same fast-path/
+    parse_url-fallback design as :func:`host_col`: the guarded common
+    case is three substring passes instead of a java.net.URI parse.
+
+    Fast path: chars after 'scheme://host' (= after the prefix
+    substring_index(url, '/', 3)), with everything from the first '?'
+    or '#' stripped. Guarded by the host_col guard plus a non-empty
+    path; anything else (no path, exotic authority, non-http scheme)
+    falls back to try_parse_url PATH — including its
+    null-for-missing-or-invalid convention, which callers coalesce."""
+    host_raw = F.substring_index(F.substring_index(url, "/", 3), "://", -1)
+    pwf = F.substr(url, F.length(F.substring_index(url, "/", 3)) + 1)
+    path = F.substring_index(F.substring_index(pwf, "?", 1), "#", 1)
+    ok = (
+        (url.startswith("http://") | url.startswith("https://"))
+        & (F.length(host_raw) > 0)
+        & (F.translate(host_raw, _HOST_CHARS, "") == "")
+        & (F.length(path) > 0)
+    )
+    return F.when(ok, path).otherwise(F.try_parse_url(url, F.lit("PATH")))
 
 
 def pic_signature_col(url: Column) -> Column:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.urls import path_col
 from ..sources import worldgen
 
 RULES_SCHEMA = "kind string, key string, pattern string, action string"
@@ -116,7 +117,7 @@ def robots_gate(frontier: DataFrame, rules: DataFrame) -> DataFrame:
         .filter(F.col("action") == "deny")
         .select(F.col("key").alias("_r_host"), F.col("pattern").alias("_r_pat"))
     )
-    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    path = path_col(F.col("url"))
     return frontier.join(
         deny,
         (F.col("host") == F.col("_r_host")) & F.rlike(path, F.col("_r_pat")),
@@ -136,9 +137,10 @@ def robots_prefix_gate(
     matched as literal path prefixes — the RFC's `*` wildcard and `$`
     end-anchor special characters (§2.2.3) are NOT interpreted (a
     pattern containing them will simply never match a real path, since
-    it is compared verbatim); and matching is against parse_url PATH
+    it is compared verbatim); and matching is against the URL PATH
     only, so rules that target the query string do not apply. Rules
-    needing either belong in the regex-based :func:`robots_gate`.
+    using `*`/`$` belong in :func:`robots_wildcard_gate`; query-string
+    or free-form rules in the regex-based :func:`robots_gate`.
 
     Scale shape: rules collapse to ONE array row per host
     (collect_list over the tiny rules table), broadcast-joined on
@@ -154,7 +156,7 @@ def robots_prefix_gate(
             ).alias("_rr")
         )
     )
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    path = F.coalesce(path_col(F.col("url")), F.lit("/"))
     joined = frontier.join(per_host, F.col("host") == F.col("_r_host"), "left")
     matched = F.filter("_rr", lambda r: F.startswith(path, r["p"]))
     best = F.array_max(
@@ -164,6 +166,88 @@ def robots_prefix_gate(
                 F.length(r["p"]).alias("l"),
                 (r["a"] == F.lit("allow")).cast("int").alias("allow"),
             ),
+        )
+    )
+    allowed = best.isNull() | (best["allow"] == 1)
+    return joined.filter(allowed).drop("_r_host", "_rr")
+
+
+# LIKE escape char for robots_wildcard_gate: never occurs in a URL path
+# or a sane robots rule.
+_LIKE_ESC = "\x01"
+
+
+def robots_wildcard_pattern_to_like(pattern: str) -> tuple[str, bool]:
+    """Scalar reference translation of an RFC 9309 rule pattern to a
+    SQL LIKE pattern (shared by the oracle SQL generator and the
+    Spark-side translation's parity test). Returns (like_pattern,
+    anchored). Rules: LIKE metachars %/_ and the escape char are
+    escaped; `*` becomes `%`; one TRAILING `$` anchors at end-of-path
+    (dropped, no trailing `%`); a `$` anywhere else is literal
+    (RFC 9309 §2.2.3)."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    core = (
+        core.replace(_LIKE_ESC, _LIKE_ESC + _LIKE_ESC)
+        .replace("%", _LIKE_ESC + "%")
+        .replace("_", _LIKE_ESC + "_")
+        .replace("*", "%")
+    )
+    return (core if anchored else core + "%"), anchored
+
+
+def robots_wildcard_gate(
+    frontier: DataFrame, rules: DataFrame, kind: str = "robots_wildcard"
+) -> DataFrame:
+    """J8, full RFC 9309 §2.2.3 special characters — the gate
+    robots_prefix_gate's docstring points wildcard rules at: `*`
+    matches any run of characters, a trailing `$` anchors the rule at
+    end-of-path, everything else is literal. Longest-PATTERN match
+    wins (§2.2.2 most-specific = octet length of the rule, wildcards
+    counted as written), allow wins length ties, no matching rule ->
+    allow.
+
+    Scale shape: identical to robots_prefix_gate — rules translate to
+    SQL LIKE patterns ONCE on the tiny rules side (regexp-free string
+    replaces), collapse to one broadcast array row per host, and the
+    per-row decision is filter + array_max codegen over that array;
+    the frontier is never shuffled. LIKE with a per-rule pattern
+    column compiles per (row x matching-host rule), but only hosts
+    that publish wildcard rules pay it."""
+    esc2 = _LIKE_ESC + _LIKE_ESC
+    p = F.col("pattern")
+    anchored = p.endswith("$")
+    core = F.when(anchored, p.substr(F.lit(1), F.length(p) - 1)).otherwise(p)
+    core = F.replace(
+        F.replace(
+            F.replace(core, F.lit(_LIKE_ESC), F.lit(esc2)),
+            F.lit("%"),
+            F.lit(_LIKE_ESC + "%"),
+        ),
+        F.lit("_"),
+        F.lit(_LIKE_ESC + "_"),
+    )
+    core = F.replace(core, F.lit("*"), F.lit("%"))
+    like_pat = F.when(anchored, core).otherwise(F.concat(core, F.lit("%")))
+    per_host = F.broadcast(
+        _rules_of(rules, kind)
+        .select(
+            F.col("key").alias("_r_host"),
+            F.struct(
+                like_pat.alias("lp"),
+                F.length(p).alias("l"),
+                (F.col("action") == F.lit("allow")).cast("int").alias("allow"),
+            ).alias("_r"),
+        )
+        .groupBy("_r_host")
+        .agg(F.collect_list("_r").alias("_rr"))
+    )
+    path = F.coalesce(path_col(F.col("url")), F.lit("/"))
+    joined = frontier.join(per_host, F.col("host") == F.col("_r_host"), "left")
+    matched = F.filter("_rr", lambda r: F.like(path, r["lp"], F.lit(_LIKE_ESC)))
+    best = F.array_max(
+        F.transform(
+            matched, lambda r: F.struct(r["l"].alias("l"), r["allow"].alias("allow"))
         )
     )
     allowed = best.isNull() | (best["allow"] == 1)

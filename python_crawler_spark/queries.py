@@ -1388,6 +1388,62 @@ def q_robots_prefix_gate(spark, sf_dir):
     )
 
 
+_ROBOTS_WILDCARD_RULES = [
+    # '*' run: deny anything under /n/ containing a 7, allow the
+    # longer 77 carve-out
+    ("h1.example.com", "/n/*7", "deny"),
+    ("h1.example.com", "/n/*77", "allow"),
+    # trailing '$': deny only paths ENDING in 9
+    ("h2.example.com", "/n/*9$", "deny"),
+    # exact length tie -> allow wins
+    ("h3.example.com", "/n/1*", "deny"),
+    ("h3.example.com", "/n/1*", "allow"),
+    # blanket deny
+    ("h4.example.com", "/*", "deny"),
+]
+
+
+def q_robots_wildcard(spark, sf_dir):
+    """J8 with full RFC 9309 §2.2.3 specials: `*` any-run, trailing
+    `$` end-anchor, longest-pattern wins, allow wins ties. Same
+    broadcast rule-array / codegen argmax shape as robots_prefix_gate
+    (operators/gating.robots_wildcard_gate) — the frontier side is
+    never shuffled; rules translate to SQL LIKE patterns once on the
+    tiny rules side."""
+    from .operators.gating import RULES_SCHEMA, robots_wildcard_gate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    host = F.concat(
+        F.lit("h"), (F.col("user_id") % 10).cast("string"), F.lit(".example.com")
+    )
+    f = ev.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/n/"), F.col("event_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [("robots_wildcard", h, p, a) for h, p, a in _ROBOTS_WILDCARD_RULES],
+        RULES_SCHEMA,
+    )
+    return robots_wildcard_gate(f, rules).groupBy("host").agg(
+        F.count("*").alias("n_allowed")
+    )
+
+
+def _robots_wildcard_rules_sql() -> str:
+    """VALUES rows (host, like_pattern, pattern_len, action) with the
+    RFC pattern pre-translated by the scalar reference (parity with
+    the Spark-side translation is pinned in test_gating)."""
+    from .operators.gating import robots_wildcard_pattern_to_like
+
+    rows = []
+    for h, p, a in _ROBOTS_WILDCARD_RULES:
+        lp, _anchored = robots_wildcard_pattern_to_like(p)
+        rows.append(f"('{h}', '{lp}', {len(p)}, '{a}')")
+    return ",\n         ".join(rows)
+
+
 _ROBOTS_RULES_SQL = ",\n         ".join(
     f"('{h}', '{p}', '{a}')" for h, p, a in _ROBOTS_PREFIX_RULES
 )
@@ -1406,6 +1462,30 @@ WITH f AS (
                     CASE WHEN r.action = 'allow' THEN 0 ELSE 1 END
          ) AS rk
   FROM f JOIN r ON f.host = r.host AND starts_with(f.path, r.pattern)
+)
+SELECT host, count(*) AS n_allowed FROM (
+  SELECT f.host FROM f
+  LEFT JOIN (SELECT host, path, action FROM m WHERE rk = 1) d
+    ON d.host = f.host AND d.path = f.path
+  WHERE d.action IS NULL OR d.action = 'allow'
+) GROUP BY host
+"""
+
+SQL_ROBOTS_WILDCARD = f"""
+WITH f AS (
+  SELECT 'h' || (user_id % 10) || '.example.com' AS host,
+         '/n/' || event_id AS path
+  FROM events WHERE event_id < 2000
+), r(host, lp, plen, action) AS (
+  VALUES {_robots_wildcard_rules_sql()}
+), m AS (
+  SELECT f.host, f.path, r.action,
+         row_number() OVER (
+           PARTITION BY f.host, f.path
+           ORDER BY r.plen DESC,
+                    CASE WHEN r.action = 'allow' THEN 0 ELSE 1 END
+         ) AS rk
+  FROM f JOIN r ON f.host = r.host AND f.path LIKE r.lp ESCAPE '\x01'
 )
 SELECT host, count(*) AS n_allowed FROM (
   SELECT f.host FROM f
@@ -1476,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_bpe_count": q_token_bpe_count,
     "embed_cosine_dedup": q_embed_cosine_dedup,
     "robots_prefix_gate": q_robots_prefix_gate,
+    "robots_wildcard_gate": q_robots_wildcard,
     "streaming_fetch_plan": q_streaming_fetch_plan,
 }
 
@@ -1517,5 +1598,6 @@ ORACLE_SQL: dict[str, str] = {
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,
     "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
     "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
+    "robots_wildcard_gate": SQL_ROBOTS_WILDCARD,
     "streaming_fetch_plan": SQL_STREAMING_FETCH_PLAN,
 }

@@ -85,6 +85,39 @@ def test_fast_canonical_pred_equals_rlike(spark):
         assert bool(r["p"]) == bool(r["r"]), (r["url"], r["p"], r["r"])
 
 
+def test_host_path_col_match_parse_url(spark):
+    """host_col / path_col take a guarded substring fast path (no
+    java.net.URI per row); on every URL shape — including the ones the
+    guard must REJECT into the parse_url fallback — the result must
+    equal the parse_url reference exactly (null semantics included)."""
+    from pyspark.sql import functions as F
+
+    from python_crawler_spark.functions.urls import host_col, path_col
+
+    urls = [
+        "http://a.com/x", "https://a.com/", "http://a.com/a/b/c.html",
+        "http://a.com", "https://a.com", "http://a.com/",
+        "http://a.com/x?q=1", "http://a.com/x#f", "http://a.com/x?q=1#f",
+        "http://a.com/x#f?q=1", "http://a.com/?q", "http://a.com/#f",
+        "http://A.com/x", "http://a.com:8080/x", "http://a.com:80/x",
+        "http://u@h.com/x", "http://u:p@h.com/x", "ftp://a.com/x",
+        "http://9.8.7.6/x", "https://h-1.b9.com/p/q.r", "http:///x",
+        "http://", "http://a_b.com/x", "http://a.com//x",
+        "http://a.com/%20x", "http://a.com/x/", "a.com/x", "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        host_col(F.col("url")).alias("h"),
+        F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("hr"),
+        path_col(F.col("url")).alias("p"),
+        F.try_parse_url(F.col("url"), F.lit("PATH")).alias("pr"),
+    ).collect()
+    for r in rows:
+        assert r["h"] == r["hr"], ("host", r["url"], r["h"], r["hr"])
+        assert r["p"] == r["pr"], ("path", r["url"], r["p"], r["pr"])
+
+
 def test_canonicalize_col_matches_scalar(spark):
     """The JVM fast-path (codegen regex pass-through) + Arrow slow
     path must equal the scalar canonicalizer on every URL shape —
