@@ -28,7 +28,12 @@ from .functions.hashing import bucket_col
 from .functions.urls import canonicalize_split, host_col
 from .operators import gating
 from .operators.dedup import batch_first_occurrence, build_bloom_filters, dedup_against_seen
-from .operators.scheduler import PRIORITY_COLS, free_schedule_checkpoints, schedule
+from .operators.scheduler import (
+    PRIORITY_COLS,
+    CheckpointHandle,
+    free_schedule_checkpoints,
+    schedule,
+)
 from .parse.udfs import canonicalize_urls_udf
 from .plans.crawl import crawl_delay_col
 
@@ -149,7 +154,10 @@ def timed_schedule(
     # time before the real shuffle does it again.
     pre_ckpt_ids = _persistent_rdd_ids(spark)
     new = new.localCheckpoint(eager=True)
-    plan = schedule(new, n_salts=n_salts, n_range_partitions=n_range_partitions)
+    ckpt = CheckpointHandle()
+    plan = schedule(
+        new, n_salts=n_salts, n_range_partitions=n_range_partitions, handle=ckpt
+    )
     # Force EVERY schedule column with a noop sink. (A count() action
     # lets Catalyst prune the window operators entirely — the plan for
     # count(plan) contains no Window nodes — so counting would time a
@@ -165,7 +173,7 @@ def timed_schedule(
     # measured. Unpersist exactly the RDDs this rep checkpointed
     # (never the long-lived seen/filters state).
     _unpersist_rdds(spark, _persistent_rdd_ids(spark) - pre_ckpt_ids)
-    free_schedule_checkpoints(spark)  # clears the scheduler's registry too
+    free_schedule_checkpoints(spark, ckpt)  # this rep's scheduler blocks only
     return dt, scheduled
 
 

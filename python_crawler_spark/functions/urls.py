@@ -222,7 +222,19 @@ def host_col(url: Column) -> Column:
     evaluates unconditionally). try_parse_url, not parse_url: under
     Spark 4 ANSI mode parse_url THROWS on an invalid URL — one
     malformed href harvested into a 10^10-row frontier must yield
-    null, not kill the stage."""
+    null, not kill the stage.
+
+    INTENDED divergence from try_parse_url (ADVICE r3): on
+    malformed-but-guard-passing URLs — a space or bad percent-escape
+    in the PATH ('http://a.com/x y', 'http://a.com/p%q/'), or a
+    host that is lexically [a-z0-9.-]+ but not a valid DNS name
+    ('-a-.com', 'a..com') — java.net.URI nulls the host while the
+    fast path returns the substring. The fast path's answer is the
+    one the ENGINE wants: a malformed href harvested into the
+    frontier should still group under its host for politeness and
+    robots gating rather than escape both gates via null. The
+    divergence is pinned in
+    tests/test_scheduler.py::test_host_path_col_fast_vs_fallback."""
     # everything between '://' and the first subsequent '/' (or end):
     # substring_index(url, '/', 3) = 'http://host' (returns the whole
     # string when fewer than 3 slashes exist, i.e. no path — still
@@ -250,6 +262,11 @@ def path_col(url: Column) -> Column:
     host_raw = F.substring_index(F.substring_index(url, "/", 3), "://", -1)
     pwf = F.substr(url, F.length(F.substring_index(url, "/", 3)) + 1)
     path = F.substring_index(F.substring_index(pwf, "?", 1), "#", 1)
+    # Same INTENDED divergence as host_col (see its docstring): when
+    # the guard passes but the path is malformed per java.net.URI
+    # (space, bad %-escape), the fast path returns the literal
+    # substring where try_parse_url would null — malformed paths must
+    # still hit the robots gate.
     ok = (
         (url.startswith("http://") | url.startswith("https://"))
         & (F.length(host_raw) > 0)

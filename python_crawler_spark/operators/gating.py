@@ -130,8 +130,9 @@ def robots_prefix_gate(
 ) -> DataFrame:
     """J8, RFC 9309 longest-match semantics — LITERAL PREFIXES ONLY:
     per host, allow/deny PATH prefix rules; the longest matching prefix
-    wins; on a length tie allow wins (RFC 9309 §2.2.2); no matching
-    rule -> allow.
+    wins (most-specific = OCTET length, RFC 9309 §2.2.2 — UTF-8 bytes,
+    not characters); on a length tie allow wins; no matching rule ->
+    allow.
 
     Restrictions rule authors must know (ADVICE r2): patterns are
     matched as literal path prefixes — the RFC's `*` wildcard and `$`
@@ -163,7 +164,7 @@ def robots_prefix_gate(
         F.transform(
             matched,
             lambda r: F.struct(
-                F.length(r["p"]).alias("l"),
+                F.octet_length(r["p"]).alias("l"),
                 (r["a"] == F.lit("allow")).cast("int").alias("allow"),
             ),
         )
@@ -203,9 +204,10 @@ def robots_wildcard_gate(
     robots_prefix_gate's docstring points wildcard rules at: `*`
     matches any run of characters, a trailing `$` anchors the rule at
     end-of-path, everything else is literal. Longest-PATTERN match
-    wins (§2.2.2 most-specific = octet length of the rule, wildcards
-    counted as written), allow wins length ties, no matching rule ->
-    allow.
+    wins (§2.2.2 most-specific = OCTET length of the rule — UTF-8
+    bytes, not characters, so non-ASCII patterns rank by encoded size —
+    wildcards counted as written), allow wins length ties, no matching
+    rule -> allow.
 
     Scale shape: identical to robots_prefix_gate — rules translate to
     SQL LIKE patterns ONCE on the tiny rules side (regexp-free string
@@ -235,7 +237,7 @@ def robots_wildcard_gate(
             F.col("key").alias("_r_host"),
             F.struct(
                 like_pat.alias("lp"),
-                F.length(p).alias("l"),
+                F.octet_length(p).alias("l"),
                 (F.col("action") == F.lit("allow")).cast("int").alias("allow"),
             ).alias("_r"),
         )

@@ -35,13 +35,31 @@ from pyspark.sql import functions as F
 
 PRIORITY_COLS = ["source_rank", "line_no", "stage", "page_no", "link_idx", "attempt"]
 
-# RDD ids localCheckpointed by global_rank_and_cumsum and not yet freed.
-# The ContextCleaner frees checkpoint blocks eventually (once the plan is
-# garbage-collected), but "eventually" is GC-heuristic-dependent; callers
-# that materialize the returned plan should free the blocks
-# deterministically via free_schedule_checkpoints. Single-threaded-driver
-# assumption: the pre/post persistent-id diff that fills this registry is
-# not safe against concurrent checkpointing jobs in the same JVM.
+class CheckpointHandle:
+    """Per-call registry of the RDD ids one schedule() /
+    global_rank_and_cumsum() call localCheckpointed. Pass a fresh handle
+    into schedule(...) and free it — and ONLY it — with
+    free_schedule_checkpoints(spark, handle) once the returned plan has
+    been materialized. Two live plans (e.g. run_round's round schedule
+    and a lazily-held fetch_order() plan) then can't unpersist each
+    other's checkpoint blocks out from under themselves
+    (localCheckpoint truncates lineage: a freed block is
+    unrecoverable, the plan fails with a missing-checkpoint error)."""
+
+    __slots__ = ("rdd_ids",)
+
+    def __init__(self) -> None:
+        self.rdd_ids: list[int] = []
+
+
+# Fallback registry for calls made WITHOUT a handle. A handle-less
+# free_schedule_checkpoints(spark) drains this entire list, so the
+# no-handle flow is only safe when a single caller at a time builds and
+# materializes schedule plans (the original round-3 contract). Any
+# caller that may overlap with another live schedule plan must pass its
+# own CheckpointHandle. Single-threaded-driver assumption: the pre/post
+# persistent-id diff that fills these registries is not safe against
+# concurrent checkpointing jobs in the same JVM.
 _ckpt_rdd_ids: list[int] = []
 
 
@@ -50,21 +68,26 @@ def _persistent_rdd_ids(spark) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
-def free_schedule_checkpoints(spark) -> int:
-    """Unpersist every checkpoint block a prior schedule() /
-    global_rank_and_cumsum call registered, deterministically (no GC
-    dependence). Call AFTER the returned plan has been materialized
-    (written / collected / checkpointed downstream); the blocks are
-    only needed to compute that plan once. Returns how many RDDs were
-    freed. Idempotent: already-collected ids are skipped."""
+def free_schedule_checkpoints(spark, handle: CheckpointHandle | None = None) -> int:
+    """Unpersist checkpoint blocks registered by schedule() /
+    global_rank_and_cumsum, deterministically (no GC dependence).
+
+    With ``handle``: frees exactly that call's blocks (the safe,
+    per-call path). Without: drains the module-global fallback registry
+    — every no-handle call's blocks, whoever made them. Call AFTER the
+    returned plan has been materialized (written / collected /
+    checkpointed downstream); the blocks are only needed to compute
+    that plan once. Returns how many RDDs were freed. Idempotent:
+    already-collected ids are skipped."""
+    registry = handle.rdd_ids if handle is not None else _ckpt_rdd_ids
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     freed = 0
-    wanted = set(_ckpt_rdd_ids)
+    wanted = set(registry)
     for rid in jmap.keySet().toArray():
         if int(rid) in wanted:
             jmap.get(rid).unpersist(False)
             freed += 1
-    _ckpt_rdd_ids.clear()
+    registry.clear()
     return freed
 
 SOURCE_RANK = {"weixin": 0, "chuansongmen": 1, "tianyan": 2}
@@ -101,6 +124,7 @@ def global_rank_and_cumsum(
     n_range_partitions: int = 32,
     rank_name: str = "seq",
     cumsum_name: str = "virtual_ts",
+    handle: CheckpointHandle | None = None,
 ) -> DataFrame:
     """Distributed total-order rank + exclusive prefix sum.
 
@@ -137,7 +161,8 @@ def global_rank_and_cumsum(
     spark = df.sparkSession
     pre_ids = _persistent_rdd_ids(spark)
     dfp = dfp.localCheckpoint(eager=True)
-    _ckpt_rdd_ids.extend(_persistent_rdd_ids(spark) - pre_ids)
+    registry = handle.rdd_ids if handle is not None else _ckpt_rdd_ids
+    registry.extend(_persistent_rdd_ids(spark) - pre_ids)
     totals = (
         dfp.groupBy(*part, "_pid")
         .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))
@@ -178,7 +203,12 @@ def global_rank_and_cumsum(
     return ranked
 
 
-def schedule(frontier: DataFrame, n_salts: int = 8, n_range_partitions: int = 32) -> DataFrame:
+def schedule(
+    frontier: DataFrame,
+    n_salts: int = 8,
+    n_range_partitions: int = 32,
+    handle: CheckpointHandle | None = None,
+) -> DataFrame:
     """Produce the round's fetch plan.
 
     Adds:
@@ -200,6 +230,7 @@ def schedule(frontier: DataFrame, n_salts: int = 8, n_range_partitions: int = 32
         n_range_partitions=n_range_partitions,
         rank_name="ref_seq",
         cumsum_name="ref_virtual_ts",
+        handle=handle,
     )
     f = f.withColumn("host_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int"))
     # same trick for the politeness queues: group by xxhash64(host)

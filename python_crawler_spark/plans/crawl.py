@@ -45,6 +45,7 @@ from ..operators.scheduler import (
     STAGE_CHILD,
     STAGE_LIST,
     STAGE_ROOT,
+    CheckpointHandle,
     free_schedule_checkpoints,
     schedule,
 )
@@ -531,14 +532,17 @@ class CrawlRun:
         if cfg.use_bloom and not self.seen.isEmpty():
             filters = build_bloom_filters(self.seen)
         new = dedup_against_seen(cand, self.seen, filters)  # J1
-        plan = schedule(new, n_salts=cfg.n_salts)
+        ckpt = CheckpointHandle()
+        plan = schedule(new, n_salts=cfg.n_salts, handle=ckpt)
         fetched = self._fetch(plan).localCheckpoint(eager=True)
         # `fetched` is materialized above, so the scheduler's internal
         # range-partitioned checkpoint is no longer reachable from any
         # live plan — free it now instead of waiting for the
         # ContextCleaner (one leaked full-frontier cache per round
-        # otherwise, round-2 verdict #2).
-        free_schedule_checkpoints(self.spark)
+        # otherwise, round-2 verdict #2). Freed BY HANDLE so a lazily
+        # held fetch_order() plan built between rounds keeps its own
+        # checkpoint (ADVICE r3 #2).
+        free_schedule_checkpoints(self.spark, ckpt)
 
         log_cols = [
             "url", "canon_url", "dedup_key", "key_hash", "bucket", "host",
@@ -641,20 +645,23 @@ class CrawlRun:
 
     # -------------------------------------------------------------- results
 
-    def fetch_order(self) -> DataFrame:
+    def fetch_order(self, handle: CheckpointHandle | None = None) -> DataFrame:
         """The replay artifact: every fetch with its global per-source
         sequence + virtual clock, reconstructed by SORT over the
         priority tuple (O4) — never by task timing.
 
         Lifecycle note: each call localCheckpoints the range-partitioned
-        fetch log internally; after materializing the returned plan,
-        callers that loop should call
-        ``operators.scheduler.free_schedule_checkpoints(spark)`` to free
-        those blocks deterministically (the ContextCleaner frees them on
-        GC otherwise)."""
-        return schedule(self.fetch_log, n_salts=self.cfg.n_salts).orderBy(
-            "source_rank", "ref_seq"
-        )
+        fetch log internally. Looping callers should pass a
+        ``CheckpointHandle`` and, after materializing the returned plan,
+        call ``free_schedule_checkpoints(spark, handle)`` to free
+        exactly this call's blocks (the ContextCleaner frees them on GC
+        otherwise). Without a handle the blocks land in the scheduler's
+        module-global fallback registry, which a handle-less free from
+        ANY caller drains — unsafe when run_round and a held
+        fetch_order plan overlap (ADVICE r3 #2)."""
+        return schedule(
+            self.fetch_log, n_salts=self.cfg.n_salts, handle=handle
+        ).orderBy("source_rank", "ref_seq")
 
     def results(self) -> dict[str, DataFrame]:
         return {

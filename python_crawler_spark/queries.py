@@ -370,14 +370,17 @@ def q_dedup_clusters(spark, sf_dir):
     per round is loop-termination only.
 
     Output: (doc_id, cluster, keep) — keep marks the survivor."""
-    from python_crawler_spark.operators.components import cc_label_propagation
+    from python_crawler_spark.operators.components import (
+        _ckpt,
+        _unpersist,
+        cc_label_propagation,
+    )
 
-    pairs = (
-        q_ngram_jaccard_pairs(spark, sf_dir)
-        .select("a", "b")
-        .localCheckpoint(eager=True)  # edges reused every round
+    pairs, pair_ids = _ckpt(  # edges reused every round
+        q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b")
     )
     labels = cc_label_propagation(pairs)
+    _unpersist(spark, pair_ids)  # final labels are self-checkpointed
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
     )
@@ -408,14 +411,15 @@ def q_dedup_clusters_stars(spark, sf_dir):
     any graph shape, the 100 TB path when the pair graph may contain
     long chains). Shares the transitive-closure oracle: both
     algorithms MUST produce the identical min-label clustering."""
-    from python_crawler_spark.operators.components import cc_alternating_stars
-
-    pairs = (
-        q_ngram_jaccard_pairs(spark, sf_dir)
-        .select("a", "b")
-        .localCheckpoint(eager=True)
+    from python_crawler_spark.operators.components import (
+        _ckpt,
+        _unpersist,
+        cc_alternating_stars,
     )
+
+    pairs, pair_ids = _ckpt(q_ngram_jaccard_pairs(spark, sf_dir).select("a", "b"))
     labels = cc_alternating_stars(pairs)
+    _unpersist(spark, pair_ids)  # cc setup consumed the edges eagerly
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
     )
@@ -1162,14 +1166,23 @@ def q_phash_clusters(spark, sf_dir):
     non-cartesian in tests/test_queries_contract.py).
 
     Output: (doc_id, cluster, keep) — keep marks the survivor."""
-    from python_crawler_spark.operators.components import cc_alternating_stars
+    from python_crawler_spark.operators.components import (
+        _ckpt,
+        _unpersist,
+        cc_alternating_stars,
+    )
 
-    pairs = (
-        q_phash_hamming(spark, sf_dir)
-        .select(F.col("da").alias("a"), F.col("db").alias("b"))
-        .localCheckpoint(eager=True)  # edges reused every round
+    pairs, pair_ids = _ckpt(  # edges read twice by cc setup
+        q_phash_hamming(spark, sf_dir).select(
+            F.col("da").alias("a"), F.col("db").alias("b")
+        )
     )
     labels = cc_alternating_stars(pairs)
+    # cc_alternating_stars consumed the edges eagerly (its own setup
+    # checkpoints are what the returned plan reads) — free the pair
+    # checkpoint now instead of leaking one persistent RDD per
+    # invocation to the GC-driven ContextCleaner (ADVICE r3 #5)
+    _unpersist(spark, pair_ids)
     return labels.select(
         "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("keep")
     )
@@ -1434,13 +1447,15 @@ def q_robots_wildcard(spark, sf_dir):
 def _robots_wildcard_rules_sql() -> str:
     """VALUES rows (host, like_pattern, pattern_len, action) with the
     RFC pattern pre-translated by the scalar reference (parity with
-    the Spark-side translation is pinned in test_gating)."""
+    the Spark-side translation is pinned in test_gating). pattern_len
+    is OCTETS (UTF-8 bytes, RFC 9309 §2.2.2 most-specific), matching
+    the engine's octet_length ranking (ADVICE r3)."""
     from .operators.gating import robots_wildcard_pattern_to_like
 
     rows = []
     for h, p, a in _ROBOTS_WILDCARD_RULES:
         lp, _anchored = robots_wildcard_pattern_to_like(p)
-        rows.append(f"('{h}', '{lp}', {len(p)}, '{a}')")
+        rows.append(f"('{h}', '{lp}', {len(p.encode('utf-8'))}, '{a}')")
     return ",\n         ".join(rows)
 
 
@@ -1458,7 +1473,7 @@ WITH f AS (
   SELECT f.host, f.path, r.action,
          row_number() OVER (
            PARTITION BY f.host, f.path
-           ORDER BY len(r.pattern) DESC,
+           ORDER BY strlen(r.pattern) DESC,
                     CASE WHEN r.action = 'allow' THEN 0 ELSE 1 END
          ) AS rk
   FROM f JOIN r ON f.host = r.host AND starts_with(f.path, r.pattern)

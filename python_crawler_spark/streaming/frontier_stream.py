@@ -129,7 +129,12 @@ def run_micro_batches(
     priority schedule) and appends its fetch plan — one code path for
     batch and streaming, exactly-once via the streaming checkpoint."""
     from ..operators.dedup import batch_first_occurrence, dedup_against_seen
-    from ..operators.scheduler import PRIORITY_COLS, schedule
+    from ..operators.scheduler import (
+        PRIORITY_COLS,
+        CheckpointHandle,
+        free_schedule_checkpoints,
+        schedule,
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -138,8 +143,12 @@ def run_micro_batches(
             batch_df, "key_hash", ["source"] + PRIORITY_COLS[1:]
         )
         new = dedup_against_seen(cand, seen, None)
-        plan = schedule(new, n_salts=n_salts)
+        ckpt = CheckpointHandle()
+        plan = schedule(new, n_salts=n_salts, handle=ckpt)
         plan.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+        # the parquet append above materialized the plan; free this
+        # batch's scheduler checkpoint before the next micro-batch
+        free_schedule_checkpoints(batch_df.sparkSession, ckpt)
 
     return (
         enriched.writeStream.foreachBatch(process)

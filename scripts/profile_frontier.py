@@ -30,6 +30,7 @@ from python_crawler_spark.operators.dedup import (  # noqa: E402
 )
 from python_crawler_spark.operators.scheduler import (  # noqa: E402
     PRIORITY_COLS,
+    CheckpointHandle,
     free_schedule_checkpoints,
     schedule,
 )
@@ -44,6 +45,15 @@ def main() -> None:
                       shuffle_partitions=cores)
     state = bf.prepare_state(spark, n)
     frontier, seen, filters, rules, filters_bytes = state
+
+    # Checkpoints created while BUILDING the stage list (the eager
+    # pre-schedule localCheckpoint and schedule()'s internal one) must
+    # outlive every timing rep: localCheckpoint truncates lineage, so
+    # freeing them while the lazily-held '+schedule' plan is still to
+    # be timed crashes that plan with a missing-checkpoint-block error
+    # (ADVICE r3 #1). Track them here; free AFTER the last stage.
+    sched_ckpt = CheckpointHandle()
+    build_ckpt_ids: set[int] = set()
 
     def stages():
         """Yield (name, DataFrame) for each cumulative prefix."""
@@ -63,9 +73,12 @@ def main() -> None:
             f, seen, filters, seen_unique=True, filters_total_bytes=filters_bytes
         )
         yield "+seen_anti_join", f
+        pre = bf._persistent_rdd_ids(spark)
         f = f.localCheckpoint(eager=True)
+        build_ckpt_ids.update(bf._persistent_rdd_ids(spark) - pre)
         plan = schedule(f, n_salts=32,
-                        n_range_partitions=spark.sparkContext.defaultParallelism * 2)
+                        n_range_partitions=spark.sparkContext.defaultParallelism * 2,
+                        handle=sched_ckpt)
         yield "+schedule", plan
 
     # Warm-up full pipeline twice (JIT + Arrow workers), then time each
@@ -82,11 +95,14 @@ def main() -> None:
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             reps.append(time.time() - t0)
+            # free only blocks THIS rep created; the build-time
+            # checkpoints stay live for the stages still to come
             bf._unpersist_rdds(spark, bf._persistent_rdd_ids(spark) - pre)
-            free_schedule_checkpoints(spark)
         cum = sorted(reps)[1]
         print(f"{name:24s} {cum:8.2f} {cum - prev:8.2f}")
         prev = cum
+    free_schedule_checkpoints(spark, sched_ckpt)
+    bf._unpersist_rdds(spark, build_ckpt_ids)
     spark.stop()
 
 

