@@ -52,7 +52,38 @@ def _crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def golden_schedule_sql(n_tianyan_seeds: int = 8, n_salts: int = 4) -> str:
+def _crawl_fetch_schedule_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: the SAME engine end-to-end, but the synthetic web
+    emits DIRTY real-world markup (worldgen.dirty_html — reordered/
+    requoted/uppercased attributes, unclosed tails) and the plan
+    parses it with the tolerant stdlib-DOM family
+    (parse/tolerant.py). Oracled by the sequential simulator
+    configured identically — and since the dirt is semantics-
+    preserving, the golden rows provably equal the clean world's
+    (tests/test_crawl_e2e.py pins that too)."""
+    from python_crawler_spark.plans.crawl import CrawlConfig, CrawlRun
+    from python_crawler_spark.sources.worldgen import WorldSpec
+
+    cfg = CrawlConfig(
+        spec=WorldSpec(n_tianyan_seeds=6), n_buckets=8,
+        html_parser="tolerant", dirty_web=True,
+    )
+    run = CrawlRun(spark, cfg)
+    run.run()
+    return run.fetch_order().select(
+        "source", "url", "attempt", "ref_seq",
+        F.round("ref_virtual_ts", 3).alias("ref_virtual_ts"),
+        "host", "host_rank",
+        F.round("host_scheduled_at", 3).alias("host_scheduled_at"),
+    )
+
+
+def golden_schedule_sql(
+    n_tianyan_seeds: int = 8,
+    n_salts: int = 4,
+    html_parser: str = "dialect",
+    dirty_web: bool = False,
+) -> str:
     """DuckDB VALUES oracle for `crawl_fetch_schedule`, generated from
     the pure-Python sequential simulator (tests/oracle.py) at the SAME
     spec the Spark query runs — the parameters mirror
@@ -78,7 +109,11 @@ def golden_schedule_sql(n_tianyan_seeds: int = 8, n_salts: int = 4) -> str:
     from python_crawler_spark.sources.worldgen import WorldSpec
     from tests.oracle import Oracle
 
-    sim = Oracle(spec=WorldSpec(n_tianyan_seeds=n_tianyan_seeds)).run()
+    sim = Oracle(
+        spec=WorldSpec(n_tianyan_seeds=n_tianyan_seeds),
+        html_parser=html_parser,
+        dirty_web=dirty_web,
+    ).run()
     seq: dict[str, int] = {}
     rows = []
     for e in sim.events:
@@ -138,10 +173,14 @@ def golden_schedule_sql(n_tianyan_seeds: int = 8, n_salts: int = 4) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     out["crawl_fetch_schedule"] = _crawl_fetch_schedule
+    out["crawl_fetch_schedule_tolerant"] = _crawl_fetch_schedule_tolerant
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["crawl_fetch_schedule"] = golden_schedule_sql()
+    out["crawl_fetch_schedule_tolerant"] = golden_schedule_sql(
+        n_tianyan_seeds=6, html_parser="tolerant", dirty_web=True
+    )
     return out

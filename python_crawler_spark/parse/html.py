@@ -22,11 +22,12 @@ Reference citations are per-function. Parsing is NOT copied code — the
 reference uses BeautifulSoup traversal; this is an independent
 implementation of the same extraction semantics.
 
-Production boundary: :func:`parse_standard_html` is the documented
-swap point for real-web HTML (lxml/selectolax inside the same Arrow
-UDFs), mirroring the ``decode_standard`` codec seam in
-functions/images.py — the regex dialect parser below covers only the
-synthetic worldgen dialect.
+Real-web HTML: :func:`parse_standard_html` builds a tolerant DOM on
+stdlib ``html.parser`` (see parse/tolerant.py — round-4, formerly a
+stub); every family below has a tolerant twin there with the same
+signature, corpus-parity-tested equal to these kernels on clean
+input. The regex dialect kernels remain the fast path for the
+controlled worldgen dialect.
 """
 
 from __future__ import annotations
@@ -54,17 +55,18 @@ _PAGENAV_RE = re.compile(r'<span class="page-nav"[^>]*>(.*?)</span>', re.S)
 
 
 def parse_standard_html(html: str):
-    """STUB: real-web HTML (the reference's Sogou/Tianyancha pages,
-    weixin_public.py:159-163) needs a tolerant parser — lxml or
-    selectolax — that this container does not ship. In production,
-    swap it in HERE and route the extraction functions below through
-    the resulting tree; the Spark-side plumbing (Arrow UDF signatures,
-    schemas, batch shapes in parse/udfs.py) is identical. The sandbox
-    path parses the controlled worldgen dialect by regex instead."""
-    raise NotImplementedError(
-        "standard HTML parsing requires lxml/selectolax; "
-        "this sandbox parses the synthetic worldgen dialect"
-    )
+    """Real-web HTML (the reference's Sogou/Tianyancha pages,
+    weixin_public.py:159-163): a tolerant DOM built on stdlib
+    ``html.parser`` — unclosed tags, single-quoted/unquoted
+    attributes, attribute reordering, uppercase tag names, stray
+    ``<``. Returns a :class:`parse.tolerant.Document`. Every
+    extraction family below has a tolerant twin in
+    :mod:`parse.tolerant` with the same signature, equal to the
+    dialect kernel on clean input (corpus-parity-tested); the crawl
+    engine selects the family via CrawlConfig.html_parser."""
+    from .tolerant import parse_standard_html as _impl
+
+    return _impl(html)
 
 
 def text_flatten(html: str) -> str:
@@ -136,6 +138,25 @@ def parse_article(html: str) -> dict:
         "author_name": text_flatten(author_m.group(1)) if author_m else "",
         "msg_link": parse_msg_link(html),
     }
+
+
+_QUERY_NAME_RE = re.compile(r'<a class="query_name" href="([^"]*)"')
+_CSM_BODY_RE = re.compile(r'<div id="js_content">(.*)</div>', re.S)
+
+
+def first_query_link(html: str) -> str:
+    """Tianyan search result: href of the first query_name anchor, ''
+    when the result page is empty (F13; tianyan_crawler.py:161-166)."""
+    m = _QUERY_NAME_RE.search(html or "")
+    return m.group(1) if m else ""
+
+
+def csm_body_text(html: str) -> str:
+    """D2+D4 for chuansongmen articles: flattened js_content body text,
+    '' when the page has no body div (greedy capture — csm articles
+    carry exactly one div)."""
+    m = _CSM_BODY_RE.search(html or "")
+    return text_flatten(m.group(1)) if m else ""
 
 
 def parse_links(html: str) -> list[str]:

@@ -49,18 +49,7 @@ from ..operators.scheduler import (
     free_schedule_checkpoints,
     schedule,
 )
-from ..parse.udfs import (
-    canonicalize_urls_udf,
-    parse_article_list_udf,
-    parse_article_udf,
-    parse_company_udf,
-    parse_images_udf,
-    parse_links_udf,
-    parse_max_page_udf,
-    text_flatten_udf,
-    tiny_html_udf,
-    trim_dom_udf,
-)
+from ..parse.udfs import canonicalize_urls_udf, udfs_for
 from ..sources import worldgen
 from ..sources.tables import SnapshotStore
 from ..sources.worldgen import CSM_BASE, TYC_BASE, WEIXIN_BASE, WorldSpec
@@ -157,6 +146,14 @@ class CrawlConfig:
     max_rounds: int = 8
     first_seed: int = 0   # F2 resume window (tianyan semantics, applied to all)
     seed_limit: int | None = None
+    # Parse family: 'dialect' = compiled-regex kernels over the clean
+    # worldgen markup (fast path); 'tolerant' = stdlib-html.parser DOM
+    # kernels (parse/tolerant.py) for real-world markup. dirty_web=True
+    # makes worldgen emit deterministically messed-up markup (reordered
+    # /requoted/uppercased attributes, unclosed tails) — the e2e world
+    # the tolerant family is verified against.
+    html_parser: str = "dialect"
+    dirty_web: bool = False
 
 
 class CrawlRun:
@@ -171,6 +168,7 @@ class CrawlRun:
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
+        self.U = udfs_for(self.cfg.html_parser)
         self.store = store
         self.rules = gating.rules_df(spark).cache()
         self.round = 0
@@ -252,11 +250,15 @@ class CrawlRun:
             + [T.StructField("kind", T.StringType()), T.StructField("html", T.StringType())]
         )
 
+        dirty = self.cfg.dirty_web
+
         def run(batches):
             for pdf in batches:
                 kinds, htmls = [], []
                 for url, att in zip(pdf["url"], pdf["attempt"]):
-                    kind, html = worldgen.fetch_url(url, attempt=int(att), spec=spec)
+                    kind, html = worldgen.fetch_url(
+                        url, attempt=int(att), spec=spec, dirty=dirty
+                    )
                     kinds.append(kind)
                     htmls.append(html)
                 yield pdf.assign(kind=kinds, html=htmls)
@@ -295,7 +297,7 @@ class CrawlRun:
         lists = fetched.filter(
             (F.col("source") == "weixin") & (F.col("stage") == STAGE_ROOT)
         )
-        items = lists.withColumn("items", parse_article_list_udf("html")).select(
+        items = lists.withColumn("items", self.U["parse_article_list"]("html")).select(
             "source", "name", "seed_id", "line_no", "depth",
             F.posexplode("items").alias("pos", "item"),
         )
@@ -323,7 +325,7 @@ class CrawlRun:
         """D9 + X5: account root -> list pages 1..max_page-1."""
         accts = fetched.filter(
             (F.col("source") == "chuansongmen") & (F.col("stage") == STAGE_ROOT)
-        ).withColumn("max_page", parse_max_page_udf("html"))
+        ).withColumn("max_page", self.U["parse_max_page"]("html"))
         pages = accts.filter(F.col("max_page") > 1).select(
             "source", "name", "seed_id", "line_no", "depth", "url",
             F.explode(F.sequence(F.lit(1), F.col("max_page") - 1)).alias("pg"),
@@ -343,7 +345,7 @@ class CrawlRun:
         lists = fetched.filter(
             (F.col("source") == "chuansongmen") & (F.col("stage") == STAGE_LIST)
         )
-        links = lists.withColumn("links", parse_links_udf("html")).select(
+        links = lists.withColumn("links", self.U["parse_links"]("html")).select(
             "source", "name", "seed_id", "line_no", "depth", "page_no",
             F.posexplode("links").alias("pos", "href"),
         )
@@ -377,9 +379,13 @@ class CrawlRun:
             F.col("crawl_delay") + F.lit(worldgen.BACKOFF["tianyan"]),
         ).withColumn("depth", F.col("depth") - 1)
         ok = searches.filter(~F.col("html").contains(worldgen.ANTI_BOT_TEXT))
-        first_link = F.regexp_extract(
-            F.col("html"), r'<a class="query_name" href="([^"]*)"', 1
-        )
+        if self.cfg.html_parser == "dialect":
+            # clean dialect markup: JVM regexp, no Arrow crossing
+            first_link = F.regexp_extract(
+                F.col("html"), r'<a class="query_name" href="([^"]*)"', 1
+            )
+        else:
+            first_link = self.U["first_query_link"]("html")
         details = ok.withColumn("href", first_link).filter(F.col("href") != "")  # F13
         children = self._child(
             details,
@@ -399,7 +405,7 @@ class CrawlRun:
         arts = fetched.filter(
             (F.col("source") == "weixin") & (F.col("stage") == STAGE_CHILD)
         )
-        parsed = arts.withColumn("p", parse_article_udf("html"))
+        parsed = arts.withColumn("p", self.U["parse_article"]("html"))
         kept = (
             parsed.filter(F.col("p.body_html").isNotNull())  # F8
             .filter(~F.col("p.has_video"))  # F9
@@ -417,7 +423,7 @@ class CrawlRun:
             "url",
             "line_no", "page_no", "link_idx",
             F.col("title").alias("caption"),
-            F.explode(parse_images_udf(F.col("p.body_html"))).alias("img"),
+            F.explode(self.U["parse_images"](F.col("p.body_html"))).alias("img"),
         ).select(
             F.col("url").alias("article_url"),
             "line_no", "page_no", "link_idx",
@@ -430,8 +436,8 @@ class CrawlRun:
         kept = kept.join(
             F.broadcast(trims), kept["name"] == trims["trim_key"], "left"
         )
-        content = tiny_html_udf(
-            trim_dom_udf(
+        content = self.U["tiny_html"](
+            self.U["trim_dom"](
                 F.col("p.body_html"),
                 F.coalesce(F.col("trim_marker"), F.lit("")),
                 F.coalesce(F.col("trim_direction"), F.lit("strip_after")),
@@ -460,12 +466,11 @@ class CrawlRun:
         arts = fetched.filter(
             (F.col("source") == "chuansongmen") & (F.col("stage") == STAGE_CHILD)
         )
-        body = F.regexp_extract(F.col("html"), r'<div id="js_content">(.*)</div>', 1)
         return arts.select(
             F.col("url").alias("src_url"),
             F.col("name").alias("account"),
             "seed_id", "line_no", "page_no", "link_idx",
-            text_flatten_udf(body).alias("text"),
+            self.U["csm_body_text"]("html").alias("text"),
         )
 
     def _extract_companies(self, fetched: DataFrame) -> DataFrame:
@@ -473,7 +478,7 @@ class CrawlRun:
         details = fetched.filter(
             (F.col("source") == "tianyan") & (F.col("stage") == STAGE_CHILD)
         )
-        parsed = details.withColumn("c", parse_company_udf("html"))
+        parsed = details.withColumn("c", self.U["parse_company"]("html"))
         return parsed.select(
             F.regexp_extract("url", r"/company/(\d+)", 1).alias("company_id"),
             F.lit("tianyancha").alias("sourceFrom"),

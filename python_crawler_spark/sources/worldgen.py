@@ -392,16 +392,91 @@ def tyc_detail_page(cid: int) -> str:
     )
 
 
+# ----------------------------------------------------------- dirty markup
+
+import re as _re
+
+_TAG_TOKEN_RE = _re.compile(r"<[\w-]+\s[^>]*=[^>]*>")  # start tags WITH attrs
+_DIRTY_ATTR_RE = _re.compile(r'([\w-]+)="([^"]*)"')
+_UNQUOTABLE_RE = _re.compile(r"""[^\s>'"=`][^\s>'"`]*""")
+
+
+def dirty_html(html: str, key: object) -> str:
+    """Deterministically 'dirty' clean dialect markup into the
+    real-world shapes the tolerant parser must survive — WITHOUT
+    changing what any extractor should return:
+
+    - attribute reordering (rotation),
+    - requoting: double -> single quotes or unquoted (when safe),
+    - uppercased tag names, extra intra-tag whitespace,
+    - trailing '</body></html>' dropped (unclosed-at-EOF).
+
+    Only start tags that carry attributes are rewritten: attr-less
+    tags (``<p>``, ``<hr>``, closing tags) are byte-load-bearing for
+    lit: trim markers and stay untouched. Script CONTENT is never
+    entered (no '<' inside worldgen scripts). Keyed on (key, tag
+    index): same page -> same dirt at any parallelism."""
+
+    counter = [0]
+
+    def rewrite(m: _re.Match) -> str:
+        tag = m.group(0)
+        i = counter[0]
+        counter[0] += 1
+        h = _h("dirty", key, i)
+        name_m = _re.match(r"<([\w-]+)", tag)
+        attrs = _DIRTY_ATTR_RE.findall(tag)
+        if not name_m or not attrs:
+            return tag
+        name = name_m.group(1)
+        if h % 2:
+            name = name.upper()
+        # rotate attribute order
+        rot = h % len(attrs)
+        attrs = attrs[rot:] + attrs[:rot]
+        parts = []
+        for j, (k, v) in enumerate(attrs):
+            hq = _h("dirtyq", key, i, j)
+            if hq % 3 == 0 and v and _UNQUOTABLE_RE.fullmatch(v) and not v.endswith("/"):
+                parts.append(f"{k}={v}")
+            elif hq % 3 == 1 and "'" not in v:
+                parts.append(f"{k}='{v}'")
+            else:
+                parts.append(f'{k}="{v}"')
+        sep = "  " if h % 7 == 0 else " "
+        lead = " \n " if h % 11 == 0 else " "  # newline inside a tag
+        return f"<{name}{lead}{sep.join(parts)}>"
+
+    out = _TAG_TOKEN_RE.sub(rewrite, html or "")
+    if _h("dirtytail", key) % 3 == 0:
+        out = out.removesuffix("</html>").removesuffix("</body>")
+    return out
+
+
 # ------------------------------------------------------------ url -> page
 
 
-def fetch_url(url: str, attempt: int = 0, spec: WorldSpec = DEFAULT_SPEC) -> tuple[str, str]:
+def fetch_url(
+    url: str, attempt: int = 0, spec: WorldSpec = DEFAULT_SPEC, dirty: bool = False
+) -> tuple[str, str]:
     """The synthetic web: (kind, html) for any URL in the graph.
 
     Pure and deterministic except for the F12 anti-bot retry, which is
     keyed on ``attempt`` (identity rotation clears it) — mirroring
     tianyan_crawler.py:145-152.
+
+    ``dirty=True`` post-processes the page through :func:`dirty_html`
+    keyed on (url, attempt) — the real-world-markup world the tolerant
+    parse path (CrawlConfig.html_parser='tolerant') is verified
+    against. Still a pure function of the URL.
     """
+    kind, html = _fetch_clean(url, attempt, spec)
+    if dirty:
+        html = dirty_html(html, f"{url}\x1f{attempt}")
+    return kind, html
+
+
+def _fetch_clean(url: str, attempt: int, spec: WorldSpec) -> tuple[str, str]:
     if url.startswith("http://weixin.sogou.com/weixin?query="):
         account = url.split("query=", 1)[1]
         return "list", weixin_list_page(account, spec)

@@ -39,11 +39,20 @@ TITLE_SKIP_BY_ACCOUNT = {
 
 class Oracle:
     def __init__(self, spec: W.WorldSpec = W.DEFAULT_SPEC, fixed_date: str = "2016-06-01",
-                 first_seed: int = 0, seed_limit: int | None = None):
+                 first_seed: int = 0, seed_limit: int | None = None,
+                 html_parser: str = "dialect", dirty_web: bool = False):
         self.spec = spec
         self.fixed_date = fixed_date
         self.first_seed = first_seed
         self.seed_limit = seed_limit
+        # same knobs as CrawlConfig: parse-kernel family + dirty markup
+        if html_parser == "dialect":
+            self.P = H
+        else:
+            from python_crawler_spark.parse import tolerant as _TOL
+
+            self.P = _TOL
+        self.dirty_web = dirty_web
         self.events: list[dict] = []
         self.seen: set[str] = set()
         self.articles: list[dict] = []
@@ -67,7 +76,8 @@ class Oracle:
     def _fetch(self, url: str, source: str, name: str, seed_id: int, line_no: int,
                stage: int, page_no: int, link_idx: int, attempt: int,
                dedup_key: str, delay: float) -> tuple[str, str]:
-        kind, html = W.fetch_url(url, attempt=attempt, spec=self.spec)
+        kind, html = W.fetch_url(url, attempt=attempt, spec=self.spec,
+                                 dirty=self.dirty_web)
         ts = self._clock.get(source, 0.0)
         ua_id, proxy_id = W.fetch_identity(url, attempt)  # S5/S7
         self.events.append(
@@ -101,7 +111,7 @@ class Oracle:
             return
         _, html = self._fetch(url, "weixin", name, seed_id, line_no,
                               0, 0, -1, 0, key, 5.0)
-        for pos, item in enumerate(H.parse_article_list(html)):
+        for pos, item in enumerate(self.P.parse_article_list(html)):
             if item["cover"] == "":  # F4
                 continue
             title = re.sub("^原创", "", item["title"]).strip()  # F5
@@ -114,7 +124,7 @@ class Oracle:
                 continue
             kind, art_html = self._fetch(art_url, "weixin", name, seed_id, line_no,
                                          2, 0, pos, 0, title, 1.0)
-            p = H.parse_article(art_html)
+            p = self.P.parse_article(art_html)
             if p["body_html"] is None or p["has_video"] or p["publish_time"] is None:
                 continue  # F8, F9, F10
             if "课程详情" in p["body_text"] and "报名需知" in p["body_text"]:
@@ -123,7 +133,7 @@ class Oracle:
             # D6: the account's trim rule (one of the five marker
             # shapes — same assignment the rules table carries)
             marker, direction = W.trim_rule_for(name)
-            content = H.tiny_html(H.trim_dom(p["body_html"], marker, direction))
+            content = self.P.tiny_html(self.P.trim_dom(p["body_html"], marker, direction))
             self.articles.append(
                 dict(src_url=art_url, title=title, author_name=p["author_name"],
                      resource_from=name, content=content, content_src=p["msg_link"],
@@ -135,7 +145,7 @@ class Oracle:
 
     def _emit_images(self, body_html: str, art_url: str, caption: str,
                      line_no: int, page_no: int, link_idx: int) -> None:
-        for img in H.parse_images(body_html):
+        for img in self.P.parse_images(body_html):
             src = img["src"]
             sig = pic_signature(src)  # X2
             if sig in self._black_sigs:  # F15
@@ -171,7 +181,7 @@ class Oracle:
             return
         _, html = self._fetch(url, "chuansongmen", name, seed_id, line_no,
                               0, 0, -1, 0, key, 3.0)
-        max_page = H.parse_max_page(html)
+        max_page = self.P.parse_max_page(html)
         link_candidates: list[tuple[int, int, str]] = []
         for pg in range(1, max_page):  # X5: excludes max_page
             pg_url = f"{url}?start={12 * (pg - 1)}"
@@ -180,7 +190,7 @@ class Oracle:
                 continue
             _, pg_html = self._fetch(pg_url, "chuansongmen", name, seed_id, line_no,
                                      1, pg, -1, 0, pg_key, 3.0)
-            for pos, href in enumerate(H.parse_links(pg_html)):  # D8 DOM order
+            for pos, href in enumerate(self.P.parse_links(pg_html)):  # D8 DOM order
                 if re.match(r"^/n/\d*", href):  # F14
                     link_candidates.append((pg, pos, href))
         for pg, pos, href in link_candidates:  # O2/O3: (page, pos) order
@@ -192,11 +202,10 @@ class Oracle:
                 continue
             _, art_html = self._fetch(art_url, "chuansongmen", name, seed_id, line_no,
                                       2, pg, pos, 0, art_key, 3.0)
-            m = re.search(r'<div id="js_content">(.*)</div>', art_html, re.S)
             self.articles_text.append(
                 dict(src_url=art_url, account=name, seed_id=seed_id, line_no=line_no,
                      page_no=pg, link_idx=pos,
-                     text=H.text_flatten(m.group(1)) if m else "")
+                     text=self.P.csm_body_text(art_html))
             )
 
     # ------------------------------------------------------------- tianyan
@@ -218,17 +227,17 @@ class Oracle:
             _, html = self._fetch(url, "tianyan", name, seed_id, line_no,
                                   0, 0, -1, 1, key + "#a1",
                                   d_search + W.BACKOFF["tianyan"])
-        m = re.search(r'<a class="query_name" href="([^"]*)"', html)
-        if not m:  # F13
+        href = self.P.first_query_link(html)
+        if not href:  # F13
             return
-        detail_url = absolutize(m.group(1), W.TYC_BASE)
+        detail_url = absolutize(href, W.TYC_BASE)
         d_key = canonicalize_url(detail_url)
         if d_key in self.seen:
             return
         d_detail = 15.0 + (W._h("delay", detail_url) % 20001) / 1000.0
         _, d_html = self._fetch(detail_url, "tianyan", name, seed_id, line_no,
                                 2, 0, 0, 0, d_key, d_detail)
-        rec = H.parse_company(d_html)
+        rec = self.P.parse_company(d_html)
         cid = re.search(r"/company/(\d+)", detail_url).group(1)
         self.companies.append(
             dict(company_id=cid, sourceFrom="tianyancha", last_update=self.fixed_date,

@@ -183,3 +183,86 @@ def test_image_pixel_invariant_psnr(run_and_oracle):
         else:
             assert psnr(ref_px, dec) >= 40.0
         assert r["caption"] == oracle_by_src[r["src_url"]]["caption"]
+
+
+# ------------------------------------------------- dirty web, tolerant parse
+
+
+@pytest.fixture(scope="module")
+def run_and_oracle_dirty(spark):
+    """The round-4 production-boundary e2e: worldgen emits DIRTY
+    markup (reordered/requoted/uppercased attributes, unclosed tails)
+    and the engine parses it with the TOLERANT stdlib-DOM family
+    (CrawlConfig.html_parser='tolerant') — against the sequential
+    oracle configured identically."""
+    dirty_spec = WorldSpec(n_tianyan_seeds=8)
+    cfg = CrawlConfig(
+        spec=dirty_spec, n_buckets=8, use_bloom=True,
+        html_parser="tolerant", dirty_web=True,
+    )
+    results = CrawlRun(spark, cfg).run()
+    oracle = Oracle(
+        spec=dirty_spec, fixed_date=cfg.fixed_date,
+        html_parser="tolerant", dirty_web=True,
+    ).run()
+    clean_oracle = Oracle(spec=dirty_spec, fixed_date=cfg.fixed_date).run()
+    return results, oracle, clean_oracle
+
+
+def test_dirty_fetch_order_and_seen_match_oracle(run_and_oracle_dirty):
+    results, oracle, clean = run_and_oracle_dirty
+    got = [
+        (r["source"], r["url"], r["attempt"])
+        for r in results["fetch_order"].select("source", "url", "attempt").collect()
+    ]
+    assert got == [(e["source"], e["url"], e["attempt"]) for e in oracle.events]
+    # and the dirt changed NOTHING semantically: same order as the
+    # clean/dialect world
+    assert got == [(e["source"], e["url"], e["attempt"]) for e in clean.events]
+    seen = {r["dedup_key"] for r in results["seen"].select("dedup_key").collect()}
+    assert seen == oracle.seen == clean.seen
+
+
+def test_dirty_articles_match_both_oracles(run_and_oracle_dirty):
+    results, oracle, clean = run_and_oracle_dirty
+    cols = [
+        "src_url", "title", "author_name", "resource_from", "content",
+        "content_src", "publish_time", "summary", "cover_small",
+    ]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in results["articles"].select(cols).collect()
+    )
+    assert got == sorted(tuple(a[c] for c in cols) for a in oracle.articles)
+    # vs the CLEAN world all values except the raw content html agree
+    vals = [c for c in cols if c != "content"]
+    got_v = sorted(tuple(r[: len(vals)]) for r in (tuple(t[cols.index(c)] for c in vals) for t in got))
+    want_v = sorted(tuple(a[c] for c in vals) for a in clean.articles)
+    assert got_v == want_v
+
+
+def test_dirty_companies_and_texts_match_clean_world(run_and_oracle_dirty):
+    results, oracle, clean = run_and_oracle_dirty
+    got_t = sorted(
+        (r["src_url"], r["account"], r["text"])
+        for r in results["articles_text"].collect()
+    )
+    assert got_t == sorted(
+        (a["src_url"], a["account"], a["text"]) for a in clean.articles_text
+    )
+    rows = {r["company_id"]: r for r in results["companies"].collect()}
+    want = {c["company_id"]: c for c in clean.companies}
+    assert set(rows) == set(want)
+    for cid, w in want.items():
+        g = rows[cid]
+        for c in ("name", "phone", "score", "status", "legal_repr"):
+            assert g[c] == w[c], (cid, c)
+        assert dict(g["details"] or {}) == w["details"]
+
+
+def test_dirty_images_match_clean_world(run_and_oracle_dirty):
+    results, oracle, clean = run_and_oracle_dirty
+    cols = ["image_id", "w", "h", "fmt", "caption", "phash", "small", "sig",
+            "src_url", "article_url", "rehost_url"]
+    got = sorted(tuple(r[c] for c in cols) for r in results["images"].select(cols).collect())
+    assert got == sorted(tuple(i[c] for c in cols) for i in clean.images)
+    assert got, "dirty world produced no images"
