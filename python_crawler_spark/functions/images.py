@@ -1,12 +1,18 @@
-"""Image kernels: deterministic codec, phash64, PSNR, size classes.
+"""Image kernels: PNG codec, deterministic lossy codec, phash64, PSNR,
+size classes.
 
-The sandbox has no image libraries (no PIL/opencv), so real PNG/JPEG
-decoding is STUBBED (see :func:`decode_standard`) and the pipeline uses
-a self-contained deterministic codec with the same *shape*:
+The lossless path is REAL PNG (round 4 — formerly a stub): a pure
+numpy + stdlib-zlib implementation of the public PNG specification
+(RFC 2083 / W3C PNG): chunked container with CRC32, zlib-compressed
+scanlines, all five line filters (None/Sub/Up/Average/Paeth) on
+decode, 8-bit gray/RGB/RGBA color types. The pipeline's ``fmt='png'``
+images are genuine PNG bytes any external tool can open. JPEG remains
+the one documented codec seam (DCT entropy coding is a library's job):
 
-- ``fmt='png'``  -> lossless: zlib-compressed raw RGB, exact roundtrip.
-- ``fmt='jpeg'`` -> lossy: uniform quantization step Q=6 then zlib;
-  reconstruction error is bounded by Q/2 per channel, giving
+- ``fmt='png'``  -> real PNG: exact roundtrip (encoder emits filter 0;
+  decoder handles all filters, so foreign PNGs decode too).
+- ``fmt='jpeg'`` -> lossy PCS1: uniform quantization step Q=6 then
+  zlib; reconstruction error is bounded by Q/2 per channel, giving
   PSNR ~= 43 dB > the 40 dB invariant from BASELINE.json::input_hint.
 
 All kernels are numpy-vectorized and wrapped by Arrow pandas UDFs in
@@ -32,22 +38,26 @@ SMALL_IMAGE_MAX_BYTES = 2800  # weixin_public.py:324 boundary, inclusive
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array. fmt in {'png','jpeg'}."""
+    """Encode an (h, w, 3) uint8 array. fmt in {'png','jpeg'}.
+    'png' emits a REAL PNG file (encode_png); 'jpeg' emits the
+    deterministic lossy PCS1 container (the documented codec seam)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("pixels must be (h, w, 3) uint8")
-    h, w = pixels.shape[:2]
     if fmt == "png":
-        mode, payload = MODE_LOSSLESS, pixels.tobytes()
-    elif fmt == "jpeg":
-        mode, payload = MODE_LOSSY, (pixels // LOSSY_Q).astype(np.uint8).tobytes()
-    else:
+        return encode_png(pixels)
+    if fmt != "jpeg":
         raise ValueError(f"unknown fmt {fmt!r}")
-    header = MAGIC + bytes([mode]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+    h, w = pixels.shape[:2]
+    payload = (pixels // LOSSY_Q).astype(np.uint8).tobytes()
+    header = MAGIC + bytes([MODE_LOSSY]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
     return header + zlib.compress(payload, 6)
 
 
 def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
-    """Decode codec bytes -> (w, h, fmt, (h,w,3) uint8 pixels)."""
+    """Decode image bytes -> (w, h, fmt, (h,w,3) uint8 pixels).
+    Dispatches on signature: PCS1 (the lossy container + legacy
+    lossless snapshots) here, everything else to decode_standard
+    (real PNG; JPEG is the remaining seam)."""
     if data[:4] != MAGIC:
         return decode_standard(data)
     mode = data[4]
@@ -61,14 +71,140 @@ def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
     return w, h, "jpeg", px
 
 
-def decode_standard(data: bytes) -> tuple[int, int, str, np.ndarray]:
-    """STUB: real PNG/JPEG decode needs an image library not present in
-    this container. In production, swap in PIL/turbojpeg here; the
-    Spark-side plumbing (schema, UDF batch shape) is identical."""
-    raise NotImplementedError(
-        "standard image formats require an image library; "
-        "this sandbox uses the deterministic PCS1 codec"
+# ------------------------------------------------------------- real PNG
+# Pure numpy + stdlib zlib implementation of the public PNG spec
+# (W3C PNG / RFC 2083). No library, no stub: these bytes interoperate
+# with any PNG tool. Supported on decode: 8-bit depth, color types 0
+# (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), all five scanline
+# filters, non-interlaced (Adam7 raises — the reference's inputs are
+# camera/web photos, virtually never interlaced).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
     )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> real PNG bytes (color type 2, filter 0 on
+    every scanline — valid PNG; simplicity over ratio)."""
+    h, w = pixels.shape[:2]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    # filter byte 0 prepended to each scanline
+    lines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    )
+    idat = zlib.compress(lines.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized over the pixel's
+    channels. a=left, b=up, c=up-left, int16 in/uint8-safe out."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Real PNG bytes -> (w, h, 'png', (h,w,3) uint8). Alpha is
+    dropped (the pipeline's schema is RGB); gray replicates."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat = bytearray()
+    h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + body + crc (crc not verified: tolerant read)
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None or h is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int16)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    bpp = channels
+    for y in range(h):
+        f, cur = int(filters[y]), lines[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: cumulative sum per channel offset, mod 256
+            rec = np.cumsum(cur.reshape(w, bpp), axis=0, dtype=np.int64).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average: left-sequential per pixel
+            rec = np.empty(stride, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                left = (cur[x : x + bpp] + ((left + prev[x : x + bpp]) >> 1)) % 256
+                rec[x : x + bpp] = left
+        elif f == 4:  # Paeth: left-sequential per pixel
+            rec = np.empty(stride, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                left = (cur[x : x + bpp] + _paeth(left, up, upleft)) % 256
+                rec[x : x + bpp] = left
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG filter {f} on line {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int16)
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        px = px[:, :, :3].copy()
+    return w, h, "png", px
+
+
+def decode_standard(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Standard formats by signature: PNG decodes for real
+    (:func:`decode_png`). JPEG is the one remaining documented seam —
+    DCT entropy decoding wants turbojpeg/PIL; the Spark-side plumbing
+    (schema, UDF batch shape) is identical when it's swapped in."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:3] == _JPEG_SIG:
+        raise NotImplementedError(
+            "JPEG decode requires an image library (turbojpeg/PIL); "
+            "swap it in here — PNG decodes natively (decode_png)"
+        )
+    raise ValueError(f"unrecognized image signature {data[:4]!r}")
 
 
 def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

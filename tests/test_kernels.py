@@ -132,9 +132,17 @@ def test_phash_stable_under_lossy():
     assert IMG.phash64(px) == IMG.phash64(dec)
 
 
-def test_decode_standard_is_stubbed():
+def test_decode_standard_dispatch():
+    """Round 4: PNG decodes for real through the dispatch path (full
+    codec suite in tests/test_media.py); JPEG remains the one
+    documented NotImplementedError seam."""
+    import numpy as np
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    w, h, fmt, dec = IMG.decode_image(IMG.encode_png(px))
+    assert (w, h, fmt) == (5, 4, "png") and np.array_equal(dec, px)
     with pytest.raises(NotImplementedError):
-        IMG.decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+        IMG.decode_image(b"\xff\xd8\xff\xe0JFIFxxxx")
 
 
 # -------------------------------------------------------------------- parse
@@ -239,11 +247,17 @@ def test_trim_lit_prefix_escape():
     assert H.trim_dom(html2, "lit:lit:x", "strip_after") == "<p>keep</p>"
 
 
-def test_parse_standard_html_is_stubbed():
-    """The real-HTML production seam mirrors decode_standard: present,
-    documented, and raising until lxml/selectolax is swapped in."""
-    with pytest.raises(NotImplementedError):
-        H.parse_standard_html("<html><body>real web page</body></html>")
+def test_parse_standard_html_builds_tolerant_dom():
+    """Round 4: the former NotImplementedError seam is now a real
+    tolerant DOM on stdlib html.parser (parse/tolerant.py); the full
+    behavior suite lives in tests/test_tolerant.py — this pins the
+    entry point's contract."""
+    doc = H.parse_standard_html("<html><body><p>real web page</body></html>")
+    from python_crawler_spark.parse.tolerant import Document, find
+
+    assert isinstance(doc, Document)
+    p = find(doc.root, "p")
+    assert p is not None and doc.text(p) == "real web page"
 
 
 def test_trim_idempotence_bounds():
