@@ -39,6 +39,8 @@ from ..operators.dedup import (
     build_bloom_filters,
     dedup_against_seen,
 )
+from ..operators.components import _rdd_ids as _persistent_rdd_ids
+from ..operators.components import _unpersist as _unpersist_rdds
 from ..operators.multimodal import fetch_and_decode_images, with_rehost_id
 from ..operators.scheduler import (
     PRIORITY_COLS,
@@ -154,6 +156,13 @@ class CrawlConfig:
     # the tolerant family is verified against.
     html_parser: str = "dialect"
     dirty_web: bool = False
+    # Seen-set prefilter family: 'bloom' (default), 'cuckoo' (partial-
+    # key cuckoo filter — deletable, ~60x lower FPR at 3x bits/item,
+    # operators/cuckoo.py), or 'none' (exact anti-join only).
+    # use_bloom=False forces 'none' (back-compat). Filters are
+    # maintained INCREMENTALLY: each round rebuilds only the hash
+    # buckets that round touched (_update_filters).
+    filter_family: str = "bloom"
 
 
 class CrawlRun:
@@ -169,6 +178,12 @@ class CrawlRun:
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.U = udfs_for(self.cfg.html_parser)
+        fam = "none" if not self.cfg.use_bloom else self.cfg.filter_family
+        if fam not in ("bloom", "cuckoo", "none"):
+            raise ValueError(f"unknown filter_family: {fam!r}")
+        self.filter_family = fam
+        self.filters: DataFrame | None = None
+        self._filter_ckpt_ids: set[int] = set()
         self.store = store
         self.rules = gating.rules_df(spark).cache()
         self.round = 0
@@ -533,10 +548,14 @@ class CrawlRun:
         cand = batch_first_occurrence(  # J6 step 1: first-occurrence-wins
             cand, "key_hash", ["source"] + PRIORITY_COLS[1:]
         )
-        filters = None
-        if cfg.use_bloom and not self.seen.isEmpty():
-            filters = build_bloom_filters(self.seen)
-        new = dedup_against_seen(cand, self.seen, filters)  # J1
+        if self.filter_family == "cuckoo" and self.filters is not None:  # J1
+            from ..operators.cuckoo import dedup_against_seen_cuckoo
+
+            new = dedup_against_seen_cuckoo(cand, self.seen, self.filters)
+        elif self.filter_family == "bloom" and self.filters is not None:
+            new = dedup_against_seen(cand, self.seen, self.filters)
+        else:
+            new = dedup_against_seen(cand, self.seen, None)
         ckpt = CheckpointHandle()
         plan = schedule(new, n_salts=cfg.n_salts, handle=ckpt)
         fetched = self._fetch(plan).localCheckpoint(eager=True)
@@ -563,6 +582,7 @@ class CrawlRun:
             "bucket", "key_hash", "dedup_key", "url"
         ).withColumn("round", F.lit(self.round))
         self.seen = self.seen.unionByName(seen_new).localCheckpoint(eager=True)
+        self._update_filters(seen_new)
 
         # extraction
         wx_articles, wx_imgs = self._extract_weixin_articles(fetched)
@@ -584,6 +604,48 @@ class CrawlRun:
             .unionByName(retries)
         )
         return nxt.localCheckpoint(eager=True)
+
+    # ------------------------------------------------------------- filters
+
+    def _build_filters(self, seen: DataFrame) -> DataFrame:
+        if self.filter_family == "cuckoo":
+            from ..operators.cuckoo import build_cuckoo_filters
+
+            return build_cuckoo_filters(seen)
+        return build_bloom_filters(seen)
+
+    def _update_filters(self, seen_new: DataFrame) -> None:
+        """Incremental per-round prefilter maintenance: rebuild ONLY
+        the hash buckets this round's fetches touched; filter rows for
+        untouched buckets are CARRIED byte-identically from the
+        previous round (tested). At 10^10-URL scale a round touches a
+        small fraction of buckets — a full rebuild per round would
+        rescan the entire seen table (O(seen) per round, O(rounds x
+        seen) total); this is O(seen-in-dirty-buckets).
+
+        The dirty-bucket list crosses the driver but is bounded by
+        n_buckets (a table-layout constant, not data volume)."""
+        if self.filter_family == "none":
+            return
+        dirty = [int(r["bucket"]) for r in seen_new.select("bucket").distinct().collect()]
+        if not dirty:
+            return
+        rebuilt = self._build_filters(
+            self.seen.filter(F.col("bucket").isin(dirty))
+        )
+        if self.filters is None:
+            merged = rebuilt
+        else:
+            merged = self.filters.filter(~F.col("bucket").isin(dirty)).unionByName(
+                rebuilt
+            )
+        # checkpoint the merged table (truncates the carry chain) and
+        # free the previous round's filter blocks deterministically
+        pre = _persistent_rdd_ids(self.spark)
+        self.filters = merged.localCheckpoint(eager=True)
+        new_ids = _persistent_rdd_ids(self.spark) - pre
+        _unpersist_rdds(self.spark, self._filter_ckpt_ids)
+        self._filter_ckpt_ids = new_ids
 
     def run(self) -> dict[str, DataFrame]:
         frontier = self.initial_frontier()
@@ -623,6 +685,10 @@ class CrawlRun:
         store.verify_round(spark, last)  # per-partition lineage gate
         run.round = last + 1
         run.seen = store.read(spark, last, "seen").localCheckpoint(eager=True)
+        # rebuild the prefilter from the restored seen set (every
+        # bucket present is 'dirty' on resume — full rebuild once,
+        # then incremental again per round)
+        run._update_filters(run.seen)
         for name in ("fetch_log", "articles", "articles_text", "companies", "images"):
             try:
                 setattr(run, name, store.read(spark, last, name))

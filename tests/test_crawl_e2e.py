@@ -266,3 +266,69 @@ def test_dirty_images_match_clean_world(run_and_oracle_dirty):
     got = sorted(tuple(r[c] for c in cols) for r in results["images"].select(cols).collect())
     assert got == sorted(tuple(i[c] for c in cols) for i in clean.images)
     assert got, "dirty world produced no images"
+
+
+# -------------------------------------------------- cuckoo filter family
+
+
+def test_cuckoo_filter_family_same_results(spark, run_and_oracle):
+    """CrawlConfig.filter_family='cuckoo' (round 4: the cuckoo seen-set
+    prefilter wired into the engine) must produce the IDENTICAL fetch
+    order and seen set — prefilters only route candidates, the exact
+    anti-join is the last word."""
+    _, oracle = run_and_oracle
+    cfg = CrawlConfig(spec=SPEC, n_buckets=8, filter_family="cuckoo")
+    run = CrawlRun(spark, cfg)
+    results = run.run()
+    assert run.filter_family == "cuckoo"
+    assert run.filters is not None  # maintained, not rebuilt-per-probe
+    assert "stash_fp" in run.filters.columns  # cuckoo rows, not bloom
+    got = [
+        (r["source"], r["url"], r["attempt"])
+        for r in results["fetch_order"].select("source", "url", "attempt").collect()
+    ]
+    assert got == [(e["source"], e["url"], e["attempt"]) for e in oracle.events]
+    seen = {r["dedup_key"] for r in results["seen"].select("dedup_key").collect()}
+    assert seen == oracle.seen
+
+
+def test_incremental_filter_maintenance_carries_untouched_buckets(spark):
+    """_update_filters must rebuild ONLY the buckets a round touched:
+    untouched buckets' filter rows stay byte-identical across rounds
+    (the SCALE.md incremental claim, previously untested), and the
+    merged table equals a from-scratch full rebuild."""
+    from python_crawler_spark.operators.cuckoo import build_cuckoo_filters
+    from python_crawler_spark.operators.dedup import build_bloom_filters
+
+    schema = "bucket int, key_hash long, dedup_key string, url string, round int"
+    for family, full_build in (
+        ("bloom", build_bloom_filters),
+        ("cuckoo", build_cuckoo_filters),
+    ):
+        run = CrawlRun(spark, CrawlConfig(filter_family=family, n_buckets=8))
+        s1 = spark.createDataFrame(
+            [(0, 11, "a", "u1", 0), (0, 12, "d", "u4", 0), (1, 22, "b", "u2", 0)],
+            schema,
+        )
+        run.seen = s1.localCheckpoint(eager=True)
+        run._update_filters(s1)
+        f1 = {r["bucket"]: r for r in run.filters.collect()}
+        assert set(f1) == {0, 1}
+        # round 2 touches bucket 1 only
+        s2 = spark.createDataFrame([(1, 33, "c", "u3", 1)], schema)
+        run.seen = run.seen.unionByName(s2).localCheckpoint(eager=True)
+        run._update_filters(s2)
+        f2 = {r["bucket"]: r for r in run.filters.collect()}
+        assert f2[0] == f1[0], f"{family}: untouched bucket 0 was rebuilt"
+        assert f2[1] != f1[1], f"{family}: dirty bucket 1 not rebuilt"
+        full = {r["bucket"]: r for r in full_build(run.seen).collect()}
+        assert f2 == full, f"{family}: incremental != full rebuild"
+
+
+def test_filter_family_none_and_validation(spark):
+    import pytest
+
+    run = CrawlRun(spark, CrawlConfig(use_bloom=False))
+    assert run.filter_family == "none"
+    with pytest.raises(ValueError, match="filter_family"):
+        CrawlRun(spark, CrawlConfig(filter_family="xor"))
