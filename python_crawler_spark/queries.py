@@ -1274,20 +1274,24 @@ def q_streaming_fetch_plan(spark, sf_dir):
     Driver-oracled (round-2 verdict #3): only the foreachBatch
     MECHANICS are non-SQL — the derived rows are plain window SQL
     (rank + exclusive cumsum over the priority tuple), so the oracle
-    recomputes them directly over `events`. Determinism requirements
-    baked in: the drop dir is 4 files < maxFilesPerTrigger, so exactly
-    ONE micro-batch runs (ref_seq is global, not per-epoch), and
-    (page_no, link_idx) = divmod(event_id, 100) makes the priority
-    tuple total — no rank ties for task timing to break. Projection
-    excludes the xxhash64-derived columns (key_hash, host_salt/rank):
-    Spark's xxhash64 is not reproducible in DuckDB SQL; those columns
-    are oracle-checked elsewhere (url_kernel, frontier_schedule) and
-    pinned by the e2e simulator tests."""
+    recomputes them directly over `events`. Round 4: the one-batch pin
+    is GONE — the drop dir is four priority-range-partitioned files
+    ingested one per trigger (staggered mtimes fix the ingestion
+    order), so FOUR micro-batches run and the oracle match proves the
+    bridge's cross-batch sequence continuity (per-source offsets
+    committed per epoch, frontier_stream.run_micro_batches). Remaining
+    determinism requirements: files are contiguous priority ranges in
+    ingestion order (continuity's documented in-order-arrival
+    contract), and (page_no, link_idx) = divmod(event_id, 100) makes
+    the priority tuple total — no rank ties for task timing to break.
+    Projection excludes the xxhash64-derived columns (key_hash,
+    host_salt/rank): Spark's xxhash64 is not reproducible in DuckDB
+    SQL; those columns are oracle-checked elsewhere (url_kernel,
+    frontier_schedule) and pinned by the e2e simulator tests."""
     import tempfile
 
     from python_crawler_spark.streaming.frontier_stream import (
         STREAM_SCHEMA,
-        frontier_stream,
         run_micro_batches,
         streaming_enrich,
     )
@@ -1318,9 +1322,28 @@ def q_streaming_fetch_plan(spark, sf_dir):
     rows = with_fetch_identity(rows).select(*[f.name for f in STREAM_SCHEMA.fields])
     base = tempfile.mkdtemp(prefix="pcs_stream_")
     drop, out, ckpt = f"{base}/drop", f"{base}/out", f"{base}/ckpt"
-    rows.repartition(4).write.mode("overwrite").parquet(drop)
+    # four contiguous priority ranges, one FILE each, mtime-staggered
+    # so the stream ingests them in priority order -> 4 micro-batches
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    staging = f"{base}/staging"
+    rows.repartitionByRange(4, "line_no", "page_no", "link_idx").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    _os.makedirs(drop, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, part in enumerate(sorted(_glob.glob(f"{staging}/part-*.parquet"))):
+        dst = f"{drop}/f{i}.parquet"
+        _shutil.copy(part, dst)
+        _os.utime(dst, (t0 + i, t0 + i))
     seen = spark.createDataFrame([], "key_hash long")
-    stream = frontier_stream(spark, drop)
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
     enriched = streaming_enrich(stream.select(*[f.name for f in STREAM_SCHEMA.fields]))
     q = run_micro_batches(enriched, seen, out, ckpt).start()
     q.awaitTermination()

