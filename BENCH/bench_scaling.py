@@ -45,15 +45,23 @@ spark = get_spark(app_name=f"scale-{{cores}}", parallelism=cores,
 # frontier + seen set + bloom filters are state maintained across
 # rounds, materialized once; each rep times only the scheduling work
 state = prepare_state(spark, n)
+
+def gc_ms():
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
 for _ in range(3):  # warm-up: JIT tiers + Arrow workers + page cache
     timed_schedule(spark, state)
 times = []
+gcs = []
 sched = 0
 for _ in range(reps):
+    g0 = gc_ms()
     dt, sched = timed_schedule(spark, state)
     times.append(dt)
+    gcs.append((gc_ms() - g0) / 1000.0)
 print("RESULT " + json.dumps({{"cores": cores, "n": n, "times": times,
-                               "scheduled": sched}}))
+                               "gc_secs": gcs, "scheduled": sched}}))
 spark.stop()
 """
 
@@ -102,12 +110,19 @@ def main() -> None:
         _time.sleep(15)  # let the previous JVM's teardown/page reclaim finish
         r = run_level(cores, n, reps)
         dt = statistics.median(r["times"])
+        gc_med = statistics.median(r.get("gc_secs", [0.0]))
         res[cores] = {"median_sec": dt, "times": r["times"],
-                      "urls_per_sec": n / dt, "scheduled": r["scheduled"]}
-        print(f"local[{cores}]: median {dt:.1f}s -> {n/dt:,.0f} urls/s  (runs: {[f'{t:.1f}' for t in r['times']]})")
+                      "urls_per_sec": n / dt, "scheduled": r["scheduled"],
+                      "gc_secs": r.get("gc_secs", []), "gc_median": gc_med}
+        print(f"local[{cores}]: median {dt:.1f}s -> {n/dt:,.0f} urls/s  "
+              f"(gc median {gc_med:.1f}s = {100*gc_med/dt:.0f}% of wall; "
+              f"runs: {[f'{t:.1f}' for t in r['times']]})")
     ratio = hi / lo
     eff = (res[hi]["urls_per_sec"] / res[lo]["urls_per_sec"]) / ratio
     print(f"scaling efficiency ({lo} -> {hi} cores): {eff:.2f}")
+    import os as _os
+
+    heap_g = int(_os.environ.get("SCALE_HEAP_PER_CORE_G", "3"))
 
     md = f"""# BENCH/BASELINE — scheduler throughput & scaling evidence
 
@@ -124,7 +139,7 @@ three ways:
   tree): the N-core run's GC threads and forked Python UDF workers
   cannot borrow idle host cores — without this, "local[{lo}]" quietly
   uses more than {lo} CPUs and the baseline is unfairly fast;
-- **heap proportional to cores** ({3}g/core): a 4N cluster has 4x the
+- **heap proportional to cores** ({heap_g}g/core): a 4N cluster has 4x the
   memory of an N cluster; equal heaps would hand the small level 4x
   memory-per-core (and giant-heap/few-GC-thread runs skew the pair);
 - **-XX:ActiveProcessorCount={{cores}}** so JVM pools size to the level.
@@ -141,12 +156,18 @@ global rank/prefix-sum priority schedule + salted per-host politeness
 windows. Input: {n:,} URLs, ~10% duplicates, hot-host skew (50% of
 URLs on one host).
 
-| parallelism | median sec | URLs/s | runs (s) |
-|---|---|---|---|
-| local[{lo}]  (N)  | {res[lo]['median_sec']:.1f} | {res[lo]['urls_per_sec']:,.0f} | {', '.join(f"{t:.1f}" for t in res[lo]['times'])} |
-| local[{hi}] ({ratio:.0f}N) | {res[hi]['median_sec']:.1f} | {res[hi]['urls_per_sec']:,.0f} | {', '.join(f"{t:.1f}" for t in res[hi]['times'])} |
+| parallelism | median sec | URLs/s | GC s (median, % wall) | runs (s) |
+|---|---|---|---|---|
+| local[{lo}]  (N)  | {res[lo]['median_sec']:.1f} | {res[lo]['urls_per_sec']:,.0f} | {res[lo]['gc_median']:.1f} ({100*res[lo]['gc_median']/res[lo]['median_sec']:.0f}%) | {', '.join(f"{t:.1f}" for t in res[lo]['times'])} |
+| local[{hi}] ({ratio:.0f}N) | {res[hi]['median_sec']:.1f} | {res[hi]['urls_per_sec']:,.0f} | {res[hi]['gc_median']:.1f} ({100*res[hi]['gc_median']/res[hi]['median_sec']:.0f}%) | {', '.join(f"{t:.1f}" for t in res[hi]['times'])} |
 
 **Scaling efficiency (N -> {ratio:.0f}N): {eff:.2f}** (target >= 0.8)
+
+GC telemetry (JVM GarbageCollectorMXBeans, per-rep delta) is reported
+so a super-linear pair is diagnosable: if the N level's GC share is
+far above the 4N level's, the baseline is memory-starved, not the job
+non-linear (round-3 verdict "What's wrong #2"). Heap per core:
+{heap_g} GB at both levels (proportional total, like real clusters).
 
 Ordering/seen-set invariance across parallelism levels is asserted in
 `tests/test_resume.py::test_order_invariant_to_parallelism`, which runs
