@@ -6,14 +6,17 @@ numpy + stdlib-zlib implementation of the public PNG specification
 (RFC 2083 / W3C PNG): chunked container with CRC32, zlib-compressed
 scanlines, all five line filters (None/Sub/Up/Average/Paeth) on
 decode, 8-bit gray/RGB/RGBA color types. The pipeline's ``fmt='png'``
-images are genuine PNG bytes any external tool can open. JPEG remains
-the one documented codec seam (DCT entropy coding is a library's job):
+images are genuine PNG bytes any external tool can open. The lossy
+path is REAL baseline JPEG too (round 4, functions/jpeg.py — pure
+numpy T.81: DCT + Annex-K quant/Huffman on encode; full baseline
+decode incl. subsampling and restart intervals):
 
 - ``fmt='png'``  -> real PNG: exact roundtrip (encoder emits filter 0;
   decoder handles all filters, so foreign PNGs decode too).
-- ``fmt='jpeg'`` -> lossy PCS1: uniform quantization step Q=6 then
-  zlib; reconstruction error is bounded by Q/2 per channel, giving
-  PSNR ~= 43 dB > the 40 dB invariant from BASELINE.json::input_hint.
+- ``fmt='jpeg'`` -> real JFIF JPEG at quality 100 (all-ones quant
+  tables): loss is DCT/chroma float rounding only, PSNR >> the 40 dB
+  invariant from BASELINE.json::input_hint. Legacy PCS1 lossy blobs
+  (pre-round-4 snapshots) still decode via the PCS1 branch.
 
 All kernels are numpy-vectorized and wrapped by Arrow pandas UDFs in
 operators/multimodal.py — no per-row Python in the data plane.
@@ -30,23 +33,36 @@ import zlib
 
 import numpy as np
 
+from . import jpeg as JPEG
+
 MAGIC = b"PCS1"
 MODE_LOSSLESS = 0
 MODE_LOSSY = 1
 LOSSY_Q = 6  # quantization step; MSE ~ Q^2/12 = 3 -> PSNR ~ 43 dB
+JPEG_QUALITY = 100  # all-ones quant tables: loss = rounding only
 SMALL_IMAGE_MAX_BYTES = 2800  # weixin_public.py:324 boundary, inclusive
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     """Encode an (h, w, 3) uint8 array. fmt in {'png','jpeg'}.
-    'png' emits a REAL PNG file (encode_png); 'jpeg' emits the
-    deterministic lossy PCS1 container (the documented codec seam)."""
+    'png' emits a REAL PNG file (encode_png); 'jpeg' emits a REAL
+    baseline JFIF JPEG (functions/jpeg.py, round 4 — formerly the
+    PCS1 container seam). JPEG_QUALITY=100 keeps the codec's loss to
+    DCT/chroma rounding, holding the PSNR>=40dB input_hint invariant
+    even on random-noise synthetic images (the hardest DCT case)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("pixels must be (h, w, 3) uint8")
     if fmt == "png":
         return encode_png(pixels)
     if fmt != "jpeg":
         raise ValueError(f"unknown fmt {fmt!r}")
+    return JPEG.encode_jpeg(pixels, quality=JPEG_QUALITY)
+
+
+def encode_pcs1_lossy(pixels: np.ndarray) -> bytes:
+    """Legacy deterministic lossy container (uniform quantization +
+    zlib). Kept for decode compatibility with pre-round-4 snapshots;
+    the pipeline now encodes real JPEG."""
     h, w = pixels.shape[:2]
     payload = (pixels // LOSSY_Q).astype(np.uint8).tobytes()
     header = MAGIC + bytes([MODE_LOSSY]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
@@ -55,9 +71,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
     """Decode image bytes -> (w, h, fmt, (h,w,3) uint8 pixels).
-    Dispatches on signature: PCS1 (the lossy container + legacy
-    lossless snapshots) here, everything else to decode_standard
-    (real PNG; JPEG is the remaining seam)."""
+    Dispatches on signature: PCS1 (the legacy lossy container) here,
+    everything else to decode_standard (real PNG/JPEG/GIF)."""
     if data[:4] != MAGIC:
         return decode_standard(data)
     mode = data[4]
@@ -193,17 +208,22 @@ def decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
 
 
 def decode_standard(data: bytes) -> tuple[int, int, str, np.ndarray]:
-    """Standard formats by signature: PNG decodes for real
-    (:func:`decode_png`). JPEG is the one remaining documented seam —
-    DCT entropy decoding wants turbojpeg/PIL; the Spark-side plumbing
-    (schema, UDF batch shape) is identical when it's swapped in."""
+    """Standard formats by signature — all real as of round 4 (the
+    reference's wire formats are exactly JPEG/PNG/GIF,
+    weixin_public.py:315-321): PNG via :func:`decode_png` (numpy +
+    zlib), baseline JPEG via functions/jpeg.decode_jpeg (numpy-only
+    T.81: Huffman + dequant + batched IDCT, subsampling, restart
+    intervals, grayscale — progressive raises), GIF via
+    functions/gif.decode_gif (LZW + palettes + interlace; first frame
+    here, full animation via functions/gif.decode_gif_frames)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:3] == _JPEG_SIG:
-        raise NotImplementedError(
-            "JPEG decode requires an image library (turbojpeg/PIL); "
-            "swap it in here — PNG decodes natively (decode_png)"
-        )
+        return JPEG.decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from . import gif as GIF
+
+        return GIF.decode_gif(data)
     raise ValueError(f"unrecognized image signature {data[:4]!r}")
 
 

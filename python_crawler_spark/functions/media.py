@@ -1,24 +1,36 @@
 """Video / audio kernels for the multimodal column operators.
 
-Real video/audio codecs (mp4/h264, mp3/aac) need ffmpeg-class
-libraries absent from this container, so — exactly like
-``images.decode_standard`` — the STANDARD-format decode is a stubbed
-production seam, while a self-contained deterministic container with
-the same shape is the tested path:
+Round 4 closes two more codec seams with REAL public formats that
+need only numpy + stdlib:
 
-- ``PCSV`` video: header (frame count, fps) + length-prefixed PCS1
-  image frames. Frame-sampling, the operator the pipeline needs, is
-  real logic over it.
-- ``PCSA`` audio: header (sample rate) + int16 mono PCM. Feature
-  extraction (duration/RMS/zero-crossing/peak) is real numpy math —
-  identical code would run on PCM decoded by a real library.
+- **WAV (RIFF PCM)**: encode_wav/decode_wav implement the public
+  RIFF/WAVE layout — PCM 8/16-bit and IEEE-float32, mono or
+  multi-channel (downmixed) — so ``decode_audio`` handles genuine
+  .wav bytes end-to-end.
+- **AVI (RIFF) + MJPEG**: encode_avi_mjpeg emits a spec-conformant
+  AVI container (hdrl/avih/strl + movi + idx1) whose frames are real
+  baseline JPEGs (functions/jpeg.py); video_info/iter_frames demux it
+  lazily (frame sampling reads chunk headers, never all frames).
+
+What still needs an external library is exactly the codecs that are
+libraries' jobs: mp4/h264/vp9 video and mp3/aac/flac audio. Those
+raise NotImplementedError with a clear message; the surrounding
+sampling/feature logic is identical when ffmpeg-class decode is
+swapped in.
+
+The deterministic containers remain as cheap test fixtures:
+
+- ``PCSV`` video: header (frame count, fps) + length-prefixed image
+  frames (real PNG since round 4).
+- ``PCSA`` audio: header (sample rate) + int16 mono PCM.
 
 The Spark-side plumbing (BinaryType columns, typed metadata,
-mapInPandas batch shape, partitioning) is production-real; only the
-byte-format parsers swap.
+mapInPandas batch shape, partitioning) is production-real.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -39,15 +51,39 @@ def encode_video(frames: list[np.ndarray], fps: int = 25) -> bytes:
 
 
 def video_info(data: bytes) -> tuple[int, int]:
-    """(n_frames, fps) without decoding any frame bytes."""
-    if data[:4] != MAGIC_V:
-        return decode_video_standard(data)
-    return int.from_bytes(data[4:8], "big"), int.from_bytes(data[8:10], "big")
+    """(n_frames, fps) without decoding frame pixel data. Dispatches:
+    PCSV test container, real AVI (RIFF demux), animated GIF, else
+    the mp4/webm library seam."""
+    if data[:4] == MAGIC_V:
+        return int.from_bytes(data[4:8], "big"), int.from_bytes(data[8:10], "big")
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        n, us_per_frame, _ = _avi_header(data)
+        fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+        return n, fps
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from . import gif as GIF
+
+        frames = GIF.decode_gif_frames(data)
+        delay = next((d for _, d in frames if d), 0)
+        return len(frames), (round(100 / delay) if delay else 0)
+    return decode_video_standard(data)
 
 
 def iter_frames(data: bytes):
     """Yield (frame_idx, frame_blob) lazily — sampling N of F frames
-    reads headers, not F decoded images."""
+    reads chunk headers, not F decoded images (AVI/PCSV; GIF is
+    inherently sequential-decode, frames re-emitted as PNG blobs).
+    Frame blobs always decode via images.decode_image's signature
+    dispatch (PNG or real JPEG)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        yield from _avi_iter_frames(data)
+        return
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from . import gif as GIF
+
+        for i, (px, _delay) in enumerate(GIF.decode_gif_frames(data)):
+            yield i, IMG.encode_png(np.ascontiguousarray(px))
+        return
     if data[:4] != MAGIC_V:
         decode_video_standard(data)
     n = int.from_bytes(data[4:8], "big")
@@ -60,13 +96,106 @@ def iter_frames(data: bytes):
 
 
 def decode_video_standard(data: bytes):
-    """STUB: real container demux (mp4/webm) requires ffmpeg-class
-    libraries not present in this container. In production swap in
-    pyav/ffmpeg here; sampling logic and schemas are identical."""
+    """Library seam for inter-frame codecs: mp4/h264/webm/vp9 demux +
+    decode is ffmpeg-class work. AVI/MJPEG is REAL here (see
+    encode_avi_mjpeg / _avi_iter_frames); swap pyav/ffmpeg in for the
+    rest — sampling logic and schemas are identical."""
     raise NotImplementedError(
-        "standard video formats require ffmpeg; this sandbox uses the "
-        "deterministic PCSV container"
+        "mp4/webm video requires ffmpeg-class decode; AVI/MJPEG and the "
+        "deterministic PCSV container decode natively"
     )
+
+
+# --------------------------------------------------- real AVI (MJPEG)
+# Minimal but spec-conformant RIFF/AVI writer and lazy demuxer
+# (public Microsoft AVI RIFF layout): LIST hdrl (avih + LIST strl
+# (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) + LIST movi with
+# '00dc' chunks carrying baseline-JPEG frames + idx1 index. All
+# little-endian; chunks pad to even length.
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 25, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 frames -> real AVI bytes with MJPEG streams
+    (each frame a baseline JFIF JPEG from functions/jpeg.py)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = [IMG.JPEG.encode_jpeg(f, quality) for f in frames]
+    max_sz = max(len(b) for b in blobs)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    us_per_frame = round(1_000_000 / fps) if fps else 0
+    avih = struct.pack(
+        "<14I", us_per_frame, max_sz * fps, 0, 0x10, len(blobs), 0, 1, max_sz,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(blobs), max_sz, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00dc", b) for b in blobs]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1: offsets are relative to the start of the movi LIST body
+    # (the 'movi' fourcc position), per the de-facto convention
+    idx = bytearray()
+    off = 4
+    for b, ck in zip(blobs, movi_chunks):
+        idx += b"00dc" + struct.pack("<3I", 0x10, off, len(b))
+        off += len(ck)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_header(data: bytes) -> tuple[int, int, tuple[int, int]]:
+    """Parse the avih main header -> (total_frames, usec_per_frame,
+    (w, h)). Raises on streams this demuxer can't read."""
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if fourcc == b"LIST":
+            ltype = data[pos + 8 : pos + 12]
+            if ltype == b"hdrl":
+                pos += 12  # descend into the header list
+                continue
+        if fourcc == b"avih":
+            body = data[pos + 8 : pos + 8 + size]
+            vals = struct.unpack("<14I", body[:56])
+            return vals[4], vals[0], (vals[8], vals[9])
+        pos += 8 + size + (size % 2)
+    raise ValueError("AVI missing avih header")
+
+
+def _avi_iter_frames(data: bytes):
+    """Lazily yield (idx, jpeg_bytes) from the movi list's 00dc/00db
+    chunks — chunk headers only, no decoding, no index required."""
+    pos = 12
+    movi_end = len(data)
+    in_movi = False
+    i = 0
+    while pos + 8 <= min(len(data), movi_end):
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if fourcc == b"LIST":
+            ltype = data[pos + 8 : pos + 12]
+            if ltype == b"movi":
+                in_movi = True
+                movi_end = pos + 8 + size
+                pos += 12
+                continue
+        if in_movi and fourcc[2:4] in (b"dc", b"db"):
+            yield i, data[pos + 8 : pos + 8 + size]
+            i += 1
+        pos += 8 + size + (size % 2)
 
 
 def sample_frame_indices(n_frames: int, n_samples: int) -> list[int]:
@@ -91,21 +220,81 @@ def encode_audio(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, int16 samples)."""
-    if data[:4] != MAGIC_A:
-        return decode_audio_standard(data)
-    rate = int.from_bytes(data[4:8], "big")
-    return rate, np.frombuffer(data[8:], dtype=np.int16)
+    """(sample_rate, int16 mono samples). Dispatches: PCSA test
+    container, real WAV (RIFF PCM/float), else the mp3/aac seam."""
+    if data[:4] == MAGIC_A:
+        rate = int.from_bytes(data[4:8], "big")
+        return rate, np.frombuffer(data[8:], dtype=np.int16)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    return decode_audio_standard(data)
 
 
 def decode_audio_standard(data: bytes):
-    """STUB: real audio decode (mp3/aac/flac) requires audio libraries
-    not present in this container; production swaps in soundfile/ffmpeg
-    and the feature math below runs unchanged on the decoded PCM."""
+    """Library seam for perceptual audio codecs: mp3/aac/flac decode
+    is a codec library's job. WAV is REAL here (decode_wav); swap
+    soundfile/ffmpeg in for the rest — the feature math below runs
+    unchanged on the decoded PCM."""
     raise NotImplementedError(
-        "standard audio formats require an audio library; this sandbox "
-        "uses the deterministic PCSA container"
+        "mp3/aac/flac require an audio codec library; WAV and the "
+        "deterministic PCSA container decode natively"
     )
+
+
+# ------------------------------------------------------------ real WAV
+# Public RIFF/WAVE layout: 'fmt ' chunk (format code, channels, rate,
+# byte rate, block align, bits) + 'data' chunk. PCM 8/16-bit and
+# IEEE-float32 supported; compressed format codes raise.
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 PCM -> real WAV bytes. (n,) mono or (n, ch) interleaved."""
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError("samples must be int16, (n,) or (n, channels)")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    body = samples.tobytes()  # numpy C-order == interleaved frames
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Real WAV bytes -> (rate, int16 MONO samples) — multi-channel
+    input is mean-downmixed (the feature math is mono)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt_code = channels = rate = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_code == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                fmt_code = struct.unpack("<H", body[24:26])[0]
+        elif cid == b"data":
+            pcm = body
+    if fmt_code is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code == 1 and bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    elif fmt_code == 1 and bits == 8:  # unsigned 8-bit per spec
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) * 256.0
+    elif fmt_code == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(pcm, dtype="<f4").astype(np.float64) * 32767.0
+    else:
+        raise NotImplementedError(
+            f"WAV format code {fmt_code}/{bits}-bit (PCM 8/16 and float32 only)"
+        )
+    if channels and channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return rate, np.clip(np.round(x), -32768, 32767).astype(np.int16)
 
 
 def audio_features(data: bytes) -> dict:

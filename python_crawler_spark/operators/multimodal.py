@@ -8,8 +8,10 @@ weixin_public.py:314) -> fetch bytes (sandbox: deterministic synth
 from the URL) -> decode/phash -> deterministic re-host id.
 
 bytes/decode cross the Arrow boundary in batches (mapInPandas); pixel
-work is numpy. Real HTTP fetch and real PNG/JPEG decode are the only
-stubbed seams (see functions/images.decode_standard).
+work is numpy. PNG/JPEG/GIF decode are REAL (functions/images,
+functions/jpeg, functions/gif — round 4); the remaining seams are the
+HTTP fetch itself and perceptual A/V codecs (mp4/mp3 family, see
+functions/media.decode_{video,audio}_standard).
 """
 
 from __future__ import annotations
@@ -83,9 +85,9 @@ def resize_images(
 ) -> DataFrame:
     """Thumbnail stage (training-pipeline resize): decode -> bilinear
     downscale to max_side (aspect-preserving, never upscales) ->
-    re-encode lossless. Adds thumb_bytes/thumb_w/thumb_h. The resize
-    math is real (functions/images.resize_bilinear); only standard
-    codec parsing is a stubbed seam."""
+    re-encode lossless. Adds thumb_bytes/thumb_w/thumb_h. Both the
+    resize math (functions/images.resize_bilinear) and the standard
+    codecs it reads (PNG/JPEG/GIF) are real implementations."""
     out_schema = T.StructType(
         imgs.schema.fields
         + [
@@ -170,7 +172,8 @@ def extract_audio_features(
     audio: DataFrame, audio_col: str = "audio_bytes"
 ) -> DataFrame:
     """Audio feature stage: real PCM math (duration/RMS/zero-cross/
-    peak) per row; standard-format decode is the stubbed seam
+    peak) per row over PCSA or real WAV bytes (per-blob dispatch);
+    mp3/aac stay the library seam
     (functions/media.decode_audio_standard)."""
     from ..functions import media as MED
 

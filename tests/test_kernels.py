@@ -133,16 +133,19 @@ def test_phash_stable_under_lossy():
 
 
 def test_decode_standard_dispatch():
-    """Round 4: PNG decodes for real through the dispatch path (full
-    codec suite in tests/test_media.py); JPEG remains the one
-    documented NotImplementedError seam."""
+    """Round 4: BOTH standard formats decode for real through the
+    dispatch path (PNG suite in tests/test_media.py, JPEG suite in
+    tests/test_jpeg.py). A truncated JPEG is a ValueError, not a
+    stubbed NotImplementedError — the seam is closed."""
     import numpy as np
 
     px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
     w, h, fmt, dec = IMG.decode_image(IMG.encode_png(px))
     assert (w, h, fmt) == (5, 4, "png") and np.array_equal(dec, px)
-    with pytest.raises(NotImplementedError):
-        IMG.decode_image(b"\xff\xd8\xff\xe0JFIFxxxx")
+    w, h, fmt, dec = IMG.decode_image(IMG.encode_image(px, "jpeg"))
+    assert (w, h, fmt) == (5, 4, "jpeg") and IMG.psnr(px, dec) >= 40.0
+    with pytest.raises(ValueError):
+        IMG.decode_image(b"\xff\xd8\xff\xe0JFIFxxxx")  # truncated JPEG
 
 
 # -------------------------------------------------------------------- parse

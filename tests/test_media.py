@@ -4,6 +4,8 @@ containers (standard codecs are stubbed production seams)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -71,10 +73,100 @@ def test_audio_features_math():
 
 
 def test_standard_codec_seams_raise():
-    with pytest.raises(NotImplementedError):
+    """The remaining library seams are exactly the perceptual codecs:
+    mp4/webm video and mp3/aac audio. WAV and AVI/MJPEG are real now
+    (tests below)."""
+    with pytest.raises(NotImplementedError, match="mp4"):
         MED.video_info(b"\x00\x00\x00\x18ftypmp42....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="mp3"):
         MED.decode_audio(b"ID3\x04....")
+
+
+# ------------------------------------------------- real WAV / AVI-MJPEG
+
+
+def test_wav_roundtrip_mono_16bit():
+    rate = 8000
+    t = np.arange(rate)
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 16384).astype(np.int16)
+    blob = MED.encode_wav(sine, rate)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    r, pcm = MED.decode_audio(blob)  # dispatches via RIFF/WAVE sniff
+    assert r == rate
+    assert np.array_equal(pcm, sine)
+    # the feature math runs unchanged on real-WAV PCM
+    feats = MED.audio_features(blob)
+    assert feats["duration_s"] == pytest.approx(1.0)
+    assert feats["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+
+
+def test_wav_stereo_downmix():
+    left = np.full(100, 1000, np.int16)
+    right = np.full(100, 3000, np.int16)
+    blob = MED.encode_wav(np.stack([left, right], axis=1), 16000)
+    r, pcm = MED.decode_wav(blob)
+    assert np.array_equal(pcm, np.full(100, 2000, np.int16))
+
+
+def test_wav_8bit_and_float32():
+    """Foreign WAV variants: unsigned 8-bit PCM and IEEE float32."""
+    rate = 4000
+    # 8-bit: rewrite a 16-bit file's fmt/data by hand
+    x8 = np.array([0, 64, 128, 192, 255], np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(x8)) + x8.tobytes() + b"\x00"
+    r, pcm = MED.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert r == rate and pcm[2] == 0 and pcm[0] == -32768
+    # float32
+    xf = np.array([0.0, 0.5, -0.5, 1.0], np.float32)
+    fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 16) + xf.tobytes()
+    r, pcm = MED.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert pcm[0] == 0 and pcm[1] == 16384 and pcm[3] == 32767
+    # compressed codes stay a loud seam
+    fmt = struct.pack("<HHIIHH", 85, 1, rate, rate, 1, 0)  # 85 = MP3
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="format code"):
+        MED.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_avi_mjpeg_roundtrip():
+    """Real AVI container with real JPEG frames: header info, lazy
+    frame iteration, and per-frame fidelity all through the standard
+    dispatch paths (no PCSV anywhere)."""
+    from python_crawler_spark.functions import images as IMG
+
+    rng = np.random.RandomState(9)
+    frames = [
+        np.repeat(rng.randint(0, 256, (24, 32, 1)), 3, axis=2).astype(np.uint8)
+        for _ in range(7)
+    ]
+    blob = MED.encode_avi_mjpeg(frames, fps=10, quality=100)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    n, fps = MED.video_info(blob)
+    assert (n, fps) == (7, 10)
+    got = list(MED.iter_frames(blob))
+    assert [i for i, _ in got] == list(range(7))
+    for i, fb in got:
+        assert fb[:3] == b"\xff\xd8\xff"  # each frame is a real JPEG
+        w, h, fmt, px = IMG.decode_image(fb)
+        assert (w, h, fmt) == (32, 24, "jpeg")
+        assert IMG.psnr(frames[i], px) >= 40.0  # gray noise, chroma-flat
+
+
+def test_avi_sampling_is_lazy():
+    """sample_frame_indices + iter_frames over AVI touches only chunk
+    headers for skipped frames — the generator yields in order and can
+    be abandoned early without parsing the tail."""
+    frames = [np.full((8, 8, 3), i * 30, np.uint8) for i in range(8)]
+    blob = MED.encode_avi_mjpeg(frames, fps=4)
+    want = set(MED.sample_frame_indices(8, 3))
+    it = MED.iter_frames(blob)
+    picked = [fb for i, fb in it if i in want]
+    assert len(picked) == 3
 
 
 # ------------------------------------------------------- Spark operators
@@ -129,6 +221,48 @@ def test_extract_audio_features_operator(spark):
         r = out[f"a{i}"]
         assert r["duration_s"] == pytest.approx(4000 * (i + 1) / 16000)
         assert 0 < r["rms"] < 1 and 0 < r["peak"] <= 1
+
+
+def test_operators_on_real_avi_and_wav(spark):
+    """Round 4: the SAME Spark operators run on genuine AVI/MJPEG and
+    WAV bytes (format sniffed per row inside the Arrow batch) — mixed
+    with the deterministic containers in one DataFrame, proving the
+    dispatch is per-blob, not per-job."""
+    frames = [
+        np.repeat(
+            np.random.RandomState(40 + i).randint(0, 256, (16, 16, 1)), 3, axis=2
+        ).astype(np.uint8)
+        for i in range(6)
+    ]
+    vids = [
+        ("avi0", MED.encode_avi_mjpeg(frames, fps=12, quality=100)),
+        ("pcsv0", MED.encode_video(frames, fps=12)),
+    ]
+    vdf = spark.createDataFrame(vids, "video_id string, video_bytes binary")
+    out = sample_video_frames(vdf, n_samples=3).collect()
+    assert len(out) == 6  # 2 videos x 3 frames
+    got = {}
+    for r in out:
+        assert (r["n_frames"], r["fps"]) == (6, 12)
+        assert (r["frame_w"], r["frame_h"]) == (16, 16)
+        got.setdefault(r["video_id"], {})[r["frame_idx"]] = r["frame_phash"]
+    # JPEG-compressed (q100) frames keep the perceptual content of the
+    # losslessly stored ones: q100 roundtrip moves pixels by +/-1-2,
+    # which may flip phash bits whose cell mean sits AT the median, so
+    # compare by Hamming distance, not equality
+    for idx in got["avi0"]:
+        ham = bin((got["avi0"][idx] ^ got["pcsv0"][idx]) & (2**64 - 1)).count("1")
+        assert ham <= 6, f"frame {idx}: phash moved {ham} bits"
+
+    rate = 8000
+    sine = (np.sin(2 * np.pi * 440 * np.arange(rate) / rate) * 16384).astype(np.int16)
+    rows = [("wav0", MED.encode_wav(sine, rate)), ("pcsa0", MED.encode_audio(sine, rate))]
+    adf = spark.createDataFrame(rows, "audio_id string, audio_bytes binary")
+    feats = {r["audio_id"]: r for r in extract_audio_features(adf).collect()}
+    for key in ("wav0", "pcsa0"):
+        assert feats[key]["duration_s"] == pytest.approx(1.0)
+        assert feats[key]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=0.01)
+    assert feats["wav0"]["zero_cross_rate"] == feats["pcsa0"]["zero_cross_rate"]
 
 
 # ---------------------------------------------------------- real PNG codec
@@ -243,10 +377,15 @@ def test_png_color_types_and_errors():
         IMG.decode_png(blob_16)
 
 
-def test_jpeg_seam_and_unknown_signature():
+def test_jpeg_decodes_and_unknown_signature():
+    """Round 4: JPEG bytes route to the real decoder (full suite in
+    tests/test_jpeg.py) — a truncated stream is a loud ValueError;
+    unknown signatures still refuse."""
     import pytest
 
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    with pytest.raises(ValueError, match="no SOS"):
         IMG.decode_standard(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        IMG.decode_standard(b"GIF89a....")  # GIF decodes now; cut short
     with pytest.raises(ValueError, match="unrecognized"):
-        IMG.decode_standard(b"GIF89a....")
+        IMG.decode_standard(b"BM......")  # BMP really is unrecognized
