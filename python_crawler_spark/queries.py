@@ -1554,6 +1554,192 @@ FROM documents GROUP BY source
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1):
+    per-doc duplicate-word fraction and most-frequent-bigram fraction,
+    plus the keep/drop verdict a training pipeline applies.
+
+    Scale: the per-doc stats are pure JVM higher-order functions (no
+    shuffle); the top-bigram mode is explode -> two-stage groupBy
+    keyed by (doc_id, bigram) then (doc_id) — both map-side
+    combinable, partitioned by doc_id, linear at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tok"),
+        F.size(F.array_distinct(ws)).alias("n_uniq"),
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+        ).alias("bigrams"),
+    )
+    top_bg = (
+        d.select("doc_id", "n_tok", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "n_tok", "bg")
+        .count()
+        .groupBy("doc_id", "n_tok")
+        .agg(F.max("count").alias("top_bg_n"))
+    )
+    dup_frac = F.round(1.0 - F.col("n_uniq") / F.col("n_tok"), 4)
+    bg_frac = F.round(F.col("top_bg_n") / (F.col("n_tok") - 1), 4)
+    return (
+        d.select("doc_id", "n_uniq")
+        .join(top_bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            dup_frac.alias("dup_word_frac"),
+            bg_frac.alias("top_bigram_frac"),
+            ((dup_frac <= 0.7) & (bg_frac <= 0.18)).alias("keep"),
+        )
+    )
+
+
+SQL_GOPHER_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         list_transform(range(2, len(string_split(text, ' ')) + 1),
+                        i -> string_split(text, ' ')[i - 1] || ' ' || string_split(text, ' ')[i]) AS bigrams
+  FROM documents
+), bg AS (
+  SELECT doc_id, n_tok, max(c) AS top_bg_n FROM (
+    SELECT doc_id, n_tok, b, count(*) AS c
+    FROM (SELECT doc_id, n_tok, unnest(bigrams) AS b FROM w)
+    GROUP BY doc_id, n_tok, b)
+  GROUP BY doc_id, n_tok
+)
+SELECT w.doc_id, w.n_tok,
+       round(1.0 - CAST(w.n_uniq AS DOUBLE) / w.n_tok, 4) AS dup_word_frac,
+       round(CAST(bg.top_bg_n AS DOUBLE) / (w.n_tok - 1), 4) AS top_bigram_frac,
+       (round(1.0 - CAST(w.n_uniq AS DOUBLE) / w.n_tok, 4) <= 0.7
+        AND round(CAST(bg.top_bg_n AS DOUBLE) / (w.n_tok - 1), 4) <= 0.18) AS keep
+FROM w JOIN bg ON w.doc_id = bg.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: deterministic synthetic emails/phones
+    are appended to a slice of docs (the testdata text is clean word
+    soup), then counted with regexp_count and redacted with
+    regexp_replace — all JVM codegen, no shuffle beyond the scan.
+
+    Scale: embarrassingly parallel map; at 100 TB this is the cheapest
+    stage in a curation pipeline and stays fully in whole-stage
+    codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    email_re = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", text2.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace("t", F.lit(email_re), F.lit("<EMAIL>")),
+        F.lit(phone_re),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email_re)).alias("n_emails"),
+        F.regexp_count("t", F.lit(phone_re)).alias("n_phones"),
+        F.substring(red, -40, 40).alias("tail_redacted"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || doc_id || '@example.com or 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+       CASE WHEN length(r) <= 40 THEN r ELSE substr(r, length(r) - 39, 40) END AS tail_redacted
+FROM (SELECT doc_id, t,
+             regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+                            '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
+      FROM d)
+"""
+
+
+def q_domain_mix_sample(spark, sf_dir):
+    """Stratified deterministic sampling for domain-mix control: keep
+    the top-5 docs per source ranked by md5(doc_id) — a seedless,
+    engine-portable random order. The shape every data-mixture
+    pipeline runs (per-domain quota sampling).
+
+    Scale: one shuffle partitioned by source; with many sources the
+    window parallelizes; a single giant source is the known window
+    skew case and would be pre-salted like the scheduler's windows."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+    )
+
+
+SQL_DOMAIN_MIX_SAMPLE = """
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents) WHERE rk <= 5
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality score: mean unigram log-probability per doc
+    against corpus-wide word frequencies (the cheap stand-in for a
+    KenLM perplexity filter; same two-pass shape).
+
+    Scale: pass 1 builds the vocabulary (map-side-combined groupBy —
+    Zipf vocab is tiny vs corpus, broadcastable); pass 2 joins tokens
+    to the broadcast vocab and re-aggregates per doc_id. No stage is
+    quadratic; both shuffles are keyed by high-cardinality columns."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("wc"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(vocab), "w").select(
+        "doc_id", F.log(F.col("wc") / F.lit(float(total))).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.count("*").alias("n_tok"),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS wc FROM toks GROUP BY w
+), total AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id,
+       round(avg(ln(CAST(v.wc AS DOUBLE) / total.n)), 4) AS avg_logprob,
+       count(*) AS n_tok
+FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1592,6 +1778,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_hamming": q_phash_hamming,
     "phash_clusters": q_phash_clusters,
     "token_bpe_count": q_token_bpe_count,
+    "gopher_repetition": q_gopher_repetition,
+    "pii_scrub": q_pii_scrub,
+    "domain_mix_sample": q_domain_mix_sample,
+    "unigram_logprob": q_unigram_logprob,
     "embed_cosine_dedup": q_embed_cosine_dedup,
     "robots_prefix_gate": q_robots_prefix_gate,
     "robots_wildcard_gate": q_robots_wildcard,
@@ -1634,6 +1824,10 @@ ORACLE_SQL: dict[str, str] = {
     "phash_hamming": SQL_PHASH_HAMMING,
     "phash_clusters": SQL_PHASH_CLUSTERS,
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "pii_scrub": SQL_PII_SCRUB,
+    "domain_mix_sample": SQL_DOMAIN_MIX_SAMPLE,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
     "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
     "robots_wildcard_gate": SQL_ROBOTS_WILDCARD,

@@ -1,0 +1,120 @@
+"""Round-4 training-data curation queries: Gopher repetition rules,
+PII scrub, stratified domain-mix sampling, corpus-unigram quality
+score. Value parity vs DuckDB is the driver gate; here we pin the
+semantics on hand-built rows and the scale-critical plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_crawler_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ------------------------------------------------------------- semantics
+
+
+def test_gopher_repetition_flags_degenerate_docs(spark, tmp_path):
+    rows = [
+        # 'spam spam spam spam': 1 unique word of 4, top bigram 3/3
+        (1, "spam spam spam spam", "en", "s", 19),
+        # all-distinct words, every bigram unique
+        (2, "alpha beta gamma delta", "en", "s", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["gopher_repetition"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["keep"] is False
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.3333  # 1/3, all bigrams tie at 1
+    assert got[2]["keep"] is False  # 0.3333 > 0.18 threshold
+    # a long doc with no repeated bigram passes
+    rows.append((3, " ".join(f"w{i}" for i in range(40)), "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["gopher_repetition"](spark, str(tmp_path)).collect()
+    }
+    assert got[3]["keep"] is True
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    out = QUERIES["pii_scrub"](spark, SF_DIR)
+    hit = out.filter(F.col("doc_id") % 5 == 0)
+    miss = out.filter(F.col("doc_id") % 5 != 0)
+    assert hit.filter((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count() == 0
+    assert miss.filter((F.col("n_emails") != 0) | (F.col("n_phones") != 0)).count() == 0
+    # redaction replaced the synthetic suffix; no raw email survives
+    assert hit.filter(~F.col("tail_redacted").contains("<PHONE>")).count() == 0
+    assert hit.filter(F.col("tail_redacted").rlike("@example[.]com")).count() == 0
+
+
+def test_domain_mix_sample_quota_and_determinism(spark):
+    out = QUERIES["domain_mix_sample"](spark, SF_DIR)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # deterministic across runs (md5 order, not a seeded RNG)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, QUERIES["domain_mix_sample"](spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark, tmp_path):
+    rows = [
+        (1, "the the the the", "en", "s", 0),  # most common token only
+        (2, "zzzquux the the the", "en", "s", 0),  # one rare token
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in QUERIES["unigram_logprob"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] > got[2]  # the rare-token doc scores lower
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def test_pii_scrub_plan_is_pure_codegen_map(spark):
+    plan = _plan(QUERIES["pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan  # no shuffle: embarrassingly parallel
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "* Project" in plan  # '*' = inside a WholeStageCodegen span
+
+
+def test_unigram_logprob_vocab_join_is_broadcast(spark):
+    plan = _plan(QUERIES["unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_repetition_no_cartesian_and_partial_agg(spark):
+    plan = _plan(QUERIES["gopher_repetition"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bigram mode computed via two-stage agg (map-side partial present)
+    assert "partial_count" in plan or "partial_max" in plan
+
+
+def test_domain_mix_sample_single_source_shuffle(spark):
+    plan = _plan(QUERIES["domain_mix_sample"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2  # the window's hash partition only
