@@ -30,8 +30,10 @@ from .operators import gating
 from .operators.dedup import batch_first_occurrence, build_bloom_filters, dedup_against_seen
 from .operators.scheduler import (
     PRIORITY_COLS,
+    SOURCE_RANK,
     CheckpointHandle,
     free_schedule_checkpoints,
+    packed_dedup_order_col,
     schedule,
 )
 from .parse.udfs import canonicalize_urls_udf
@@ -143,7 +145,12 @@ def timed_schedule(
         "host", host_col(F.col("url"))
     ).drop("title", "summary", "cover", "name")
     f = gating.robots_gate(f, rules)
-    f = batch_first_occurrence(f, "key_hash", ["source"] + PRIORITY_COLS[1:])
+    f = batch_first_occurrence(
+        f,
+        "key_hash",
+        ["source"] + PRIORITY_COLS[1:],
+        order_col=packed_dedup_order_col(sorted(SOURCE_RANK)),
+    )
     new = dedup_against_seen(
         f, seen, filters, seen_unique=True, filters_total_bytes=filters_bytes
     )

@@ -44,11 +44,14 @@ from ..operators.components import _unpersist as _unpersist_rdds
 from ..operators.multimodal import fetch_and_decode_images, with_rehost_id
 from ..operators.scheduler import (
     PRIORITY_COLS,
+    SOURCE_RANK,
     STAGE_CHILD,
     STAGE_LIST,
     STAGE_ROOT,
     CheckpointHandle,
     free_schedule_checkpoints,
+    pack_order,
+    packed_dedup_order_col,
     schedule,
 )
 from ..parse.udfs import canonicalize_urls_udf, udfs_for
@@ -518,6 +521,11 @@ class CrawlRun:
             imgs.withColumn("_k", F.col("src")),
             "_k",
             ["line_no", "page_no", "link_idx"],
+            order_col=pack_order(
+                [(F.col("line_no"), 30, "line_no"),
+                 (F.col("page_no"), 12, "page_no"),
+                 (F.col("link_idx"), 10, "link_idx")]
+            ),
         ).drop("_k")
         imgs = fetch_and_decode_images(imgs, "src")
         imgs = with_rehost_id(imgs, "src")
@@ -546,7 +554,10 @@ class CrawlRun:
         cand = self._enrich(frontier)
         cand = gating.robots_gate(cand, self.rules)  # J8
         cand = batch_first_occurrence(  # J6 step 1: first-occurrence-wins
-            cand, "key_hash", ["source"] + PRIORITY_COLS[1:]
+            cand,
+            "key_hash",
+            ["source"] + PRIORITY_COLS[1:],
+            order_col=packed_dedup_order_col(sorted(SOURCE_RANK)),
         )
         if self.filter_family == "cuckoo" and self.filters is not None:  # J1
             from ..operators.cuckoo import dedup_against_seen_cuckoo

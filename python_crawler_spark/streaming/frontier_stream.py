@@ -165,8 +165,10 @@ def run_micro_batches(
     from ..operators.dedup import batch_first_occurrence, dedup_against_seen
     from ..operators.scheduler import (
         PRIORITY_COLS,
+        SOURCE_RANK,
         CheckpointHandle,
         free_schedule_checkpoints,
+        packed_dedup_order_col,
         schedule,
     )
 
@@ -177,7 +179,10 @@ def run_micro_batches(
             return
         spark = batch_df.sparkSession
         cand = batch_first_occurrence(
-            batch_df, "key_hash", ["source"] + PRIORITY_COLS[1:]
+            batch_df,
+            "key_hash",
+            ["source"] + PRIORITY_COLS[1:],
+            order_col=packed_dedup_order_col(sorted(SOURCE_RANK)),
         )
         new = dedup_against_seen(cand, seen, None)
         ckpt = CheckpointHandle()
