@@ -40,6 +40,31 @@ FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "8000000"))
 EFF_CPUS = int(os.environ.get("SPARK_GRAFT_EFF_CPUS", "16"))
 
 
+def _jvm_cpu_seconds(spark) -> float:
+    """Cumulative CPU seconds of the local-mode JVM (all executor
+    threads), read from /proc. Printed per frontier rep so a slow rep
+    is attributable: wall up + CPU flat = host steal (another tenant
+    on this shared-silicon guest), wall up + CPU up = the job itself."""
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue
+            comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+            parts = raw.rsplit(")", 1)[1].split()
+            if parts[1] == str(me) and "java" in comm:
+                utime, stime = int(parts[11]), int(parts[12])
+                return (utime + stime) / os.sysconf("SC_CLK_TCK")
+        return float("nan")
+    except Exception:
+        return float("nan")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -78,11 +103,26 @@ def main() -> None:
     from python_crawler_spark.bench_frontier import prepare_state, timed_schedule
 
     state = prepare_state(spark, FRONTIER_N)
-    timed_schedule(spark, state)
+    # 3 warm-up passes excluded, matching BENCH/bench_scaling.py: this
+    # JVM's C2 JIT settles slowly on the schedule plan, and the first
+    # post-warm reps still drift on a shared-silicon guest
+    for _ in range(3):
+        timed_schedule(spark, state)
     # median of 5: this VM shows ±25% rep-to-rep spread (JIT/GC/other
     # tenants), and early reps settle slowly — 3 reps let one bad rep
     # drag the median (BENCH/BASELINE.md methodology notes)
-    reps = sorted(timed_schedule(spark, state) for _ in range(5))
+    raw = []
+    cpu_per_rep = []
+    for _ in range(5):
+        c0 = _jvm_cpu_seconds(spark)
+        raw.append(timed_schedule(spark, state))
+        cpu_per_rep.append(round(_jvm_cpu_seconds(spark) - c0, 1))
+    print(
+        f"frontier reps: wall {[round(r[0], 2) for r in raw]}"
+        f" cpu {cpu_per_rep}",
+        file=sys.stderr,
+    )
+    reps = sorted(raw)
     fdt, fsched = reps[2]
     fn = FRONTIER_N
     times["frontier_pipeline"] = round(fdt, 3)

@@ -1716,9 +1716,13 @@ def q_unigram_logprob(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     vocab = toks.groupBy("w").agg(F.count("*").alias("wc"))
-    total = toks.count()
-    scored = toks.join(F.broadcast(vocab), "w").select(
-        "doc_id", F.log(F.col("wc") / F.lit(float(total))).alias("lp")
+    # corpus size as a broadcast 1-row subquery, NOT a driver count():
+    # one plan, one execution of the token explode, no eager action
+    total = toks.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("wc") / F.col("_n")).alias("lp"))
     )
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
