@@ -1562,16 +1562,27 @@ def q_gopher_repetition(spark, sf_dir):
     Scale: the per-doc stats are pure JVM higher-order functions (no
     shuffle); the top-bigram mode is explode -> two-stage groupBy
     keyed by (doc_id, bigram) then (doc_id) — both map-side
-    combinable, partitioned by doc_id, linear at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    combinable, partitioned by doc_id, linear at 100 TB.
+
+    Single-token docs are excluded on BOTH engines: they have no
+    bigram (and Spark's sequence(1, 0) would DESCEND, fabricating
+    junk indices, where DuckDB's range(2, 2) is empty)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
     ws = F.split("text", " ")
     d = docs.select(
         "doc_id",
         F.size(ws).alias("n_tok"),
         F.size(F.array_distinct(ws)).alias("n_uniq"),
+        # index-free bigrams: zip the words with themselves shifted by
+        # one (slice lengths clamp at 0, so ANY doc length is safe —
+        # sequence(1, size-1) would DESCEND on 1-token docs under ANSI
+        # and throw INVALID_ARRAY_INDEX even behind a filter)
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+            "zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+            "         slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+            "         (a, b) -> concat(a, ' ', b))"
         ).alias("bigrams"),
     )
     top_bg = (
@@ -1603,7 +1614,7 @@ WITH w AS (
          len(list_distinct(string_split(text, ' '))) AS n_uniq,
          list_transform(range(2, len(string_split(text, ' ')) + 1),
                         i -> string_split(text, ' ')[i - 1] || ' ' || string_split(text, ' ')[i]) AS bigrams
-  FROM documents
+  FROM documents WHERE len(string_split(text, ' ')) >= 2
 ), bg AS (
   SELECT doc_id, n_tok, max(c) AS top_bg_n FROM (
     SELECT doc_id, n_tok, b, count(*) AS c

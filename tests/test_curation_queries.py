@@ -118,3 +118,18 @@ def test_gopher_repetition_no_cartesian_and_partial_agg(spark):
 def test_domain_mix_sample_single_source_shuffle(spark):
     plan = _plan(QUERIES["domain_mix_sample"](spark, SF_DIR))
     assert plan.count("Exchange") <= 2  # the window's hash partition only
+
+
+def test_gopher_repetition_single_token_doc_excluded(spark, tmp_path):
+    """A 1-token doc has no bigram; both engines drop it (Spark's
+    sequence(1, 0) DESCENDS — without the filter it would fabricate
+    junk bigram indices where DuckDB's range(2, 2) is empty)."""
+    rows = [
+        (1, "solo", "en", "s", 4),
+        (2, "two words here now", "en", "s", 18),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = QUERIES["gopher_repetition"](spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in got] == [2]
