@@ -50,18 +50,33 @@ def gc_ms():
     beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
     return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 
+import os
+_rb = spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+_jvm_pid = int(_rb.getName().split("@")[0])
+
+def cpu_s():
+    # JVM process CPU seconds from /proc (utime+stime): on a cpuset of
+    # k cores, a rep whose wall grows while its CPU stays flat lost the
+    # cores to another tenant (steal) — the job did not get slower
+    with open(f"/proc/{{_jvm_pid}}/stat") as fh:
+        parts = fh.read().rsplit(")", 1)[1].split()
+    return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+
 for _ in range(3):  # warm-up: JIT tiers + Arrow workers + page cache
     timed_schedule(spark, state)
 times = []
 gcs = []
+cpus_per_rep = []
 sched = 0
 for _ in range(reps):
-    g0 = gc_ms()
+    g0, c0 = gc_ms(), cpu_s()
     dt, sched = timed_schedule(spark, state)
     times.append(dt)
     gcs.append((gc_ms() - g0) / 1000.0)
+    cpus_per_rep.append(cpu_s() - c0)
 print("RESULT " + json.dumps({{"cores": cores, "n": n, "times": times,
-                               "gc_secs": gcs, "scheduled": sched}}))
+                               "gc_secs": gcs, "cpu_secs": cpus_per_rep,
+                               "scheduled": sched}}))
 spark.stop()
 """
 
@@ -86,8 +101,15 @@ def run_level(cores: int, n: int, reps: int) -> dict:
     # only sizes JVM thread pools — the OS would still schedule GC
     # threads and Arrow UDF workers onto idle host cores, letting the
     # "N-core" baseline quietly use more than N cores.
+    # SCALE_CPUSET_BASE moves the pinned range off core 0: cores 0..k
+    # also service host IRQs/system threads, which tax a 2-core cpuset
+    # proportionally harder than an 8-core one and can push the
+    # measured pair efficiency ABOVE 1 (the small level is handicapped,
+    # not the big level helped). Pinning both levels to high cores
+    # removes that bias.
+    base = int(env.get("SCALE_CPUSET_BASE", "0"))
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", f"{base}-{base + cores - 1}"] + cmd
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, timeout=7200, env=env,
@@ -116,7 +138,8 @@ def main() -> None:
                       "gc_secs": r.get("gc_secs", []), "gc_median": gc_med}
         print(f"local[{cores}]: median {dt:.1f}s -> {n/dt:,.0f} urls/s  "
               f"(gc median {gc_med:.1f}s = {100*gc_med/dt:.0f}% of wall; "
-              f"runs: {[f'{t:.1f}' for t in r['times']]})")
+              f"runs: {[f'{t:.1f}' for t in r['times']]}; "
+              f"cpu: {[f'{c:.0f}' for c in r.get('cpu_secs', [])]})")
     ratio = hi / lo
     eff = (res[hi]["urls_per_sec"] / res[lo]["urls_per_sec"]) / ratio
     print(f"scaling efficiency ({lo} -> {hi} cores): {eff:.2f}")
@@ -135,10 +158,14 @@ same job + same input at local[{lo}] (N) vs local[{hi}] ({ratio:.0f}N),
 each level in its own fresh JVM, isolated to its emulated cluster size
 three ways:
 
-- **cpuset binding** (`taskset -c 0-{{cores-1}}` on the whole process
-  tree): the N-core run's GC threads and forked Python UDF workers
-  cannot borrow idle host cores — without this, "local[{lo}]" quietly
-  uses more than {lo} CPUs and the baseline is unfairly fast;
+- **cpuset binding** (`taskset -c BASE-(BASE+cores-1)` on the whole
+  process tree, BASE={_os.environ.get("SCALE_CPUSET_BASE", "0")}): the
+  N-core run's GC threads and forked Python UDF workers cannot borrow
+  idle host cores — without this, "local[{lo}]" quietly uses more than
+  {lo} CPUs and the baseline is unfairly fast. BASE moves the range
+  off cores 0..k, which also service host IRQs/system threads and tax
+  a 2-core cpuset ~30% (measured: 226s on cores 0-1 vs 173s on 24-25,
+  identical job) — the bias that made earlier pairs read super-linear;
 - **heap proportional to cores** ({heap_g}g/core): a 4N cluster has 4x the
   memory of an N cluster; equal heaps would hand the small level 4x
   memory-per-core (and giant-heap/few-GC-thread runs skew the pair);

@@ -175,8 +175,8 @@ def timed_schedule(
     # localCheckpoint blocks live at the RDD level, OUTSIDE the catalog
     # CacheManager — the ContextCleaner frees them only after GC, so
     # repeated timed reps would briefly accumulate ~0.85*N-row
-    # checkpoint blocks (this rep's `new` plus the scheduler's internal
-    # range-partitioned checkpoint), skewing the very timings being
+    # checkpoint blocks (this rep's `new` — since round 4 the scheduler
+    # itself materializes nothing), skewing the very timings being
     # measured. Unpersist exactly the RDDs this rep checkpointed
     # (never the long-lived seen/filters state).
     _unpersist_rdds(spark, _persistent_rdd_ids(spark) - pre_ckpt_ids)

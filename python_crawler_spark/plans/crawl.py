@@ -570,13 +570,11 @@ class CrawlRun:
         ckpt = CheckpointHandle()
         plan = schedule(new, n_salts=cfg.n_salts, handle=ckpt)
         fetched = self._fetch(plan).localCheckpoint(eager=True)
-        # `fetched` is materialized above, so the scheduler's internal
-        # range-partitioned checkpoint is no longer reachable from any
-        # live plan — free it now instead of waiting for the
-        # ContextCleaner (one leaked full-frontier cache per round
-        # otherwise, round-2 verdict #2). Freed BY HANDLE so a lazily
-        # held fetch_order() plan built between rounds keeps its own
-        # checkpoint (ADVICE r3 #2).
+        # Since round 4 schedule() materializes nothing (its two rank
+        # passes share one AQE-reused exchange), so this frees zero
+        # blocks — kept as the contractual release point so any future
+        # scheduler materialization is freed here, by handle, the
+        # moment `fetched` exists (round-2 verdict #2 / ADVICE r3 #2).
         free_schedule_checkpoints(self.spark, ckpt)
 
         log_cols = [
