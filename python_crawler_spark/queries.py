@@ -259,16 +259,21 @@ FROM sig GROUP BY mh0, mh1, mh2, mh3 HAVING count(*) > 1
 
 _NGRAM_BANDS = 3
 
+# LSH band-bucket size cap: a degenerate bucket (k docs sharing a
+# boilerplate min-gram) would self-join into O(k^2) candidate pairs;
+# buckets above the cap are EXCLUDED from candidate generation (the
+# standard LSH mitigation — a 100 TB boilerplate cluster belongs to
+# exact/prefix dedup, not pairwise Jaccard). Not a silent cap: the
+# dropped buckets are a first-class auditable query
+# (ngram_band_overflow below), and both engines apply the identical
+# cap so the oracle pins the capped semantics.
+_NGRAM_BUCKET_CAP = 64
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup: word-3-gram sets, pairwise Jaccard
-    computed only on MinHash candidate pairs (never all-pairs).
-    Candidates come from 3 one-hash MinHash bands over the gram set —
-    docs agreeing on ANY band's minimum gram-hash are candidates, so
-    the bucketing is robust to head edits (a prefix-keyed bucket, the
-    round-1 design, missed any pair whose first words differ). Recall
-    for J >= 0.8 is 1-(1-J/(2-J))^3 ≈ 0.96 per the MinHash collision
-    bound; exact Jaccard then confirms. Emits pairs with J >= 0.8."""
+
+def _ngram_grams_and_bands(spark, sf_dir):
+    """Shared candidate machinery for the n-gram LSH family: distinct
+    word-3-gram sets per doc, plus the exploded (doc_id, band, bkt)
+    band rows (bkt = the band's min gram-hash)."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("ws"))
     grams = words.select(
@@ -292,6 +297,33 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             "band", "bkt"
         ),
     )
+    return grams, bands
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: word-3-gram sets, pairwise Jaccard
+    computed only on MinHash candidate pairs (never all-pairs).
+    Candidates come from 3 one-hash MinHash bands over the gram set —
+    docs agreeing on ANY band's minimum gram-hash are candidates, so
+    the bucketing is robust to head edits (a prefix-keyed bucket, the
+    round-1 design, missed any pair whose first words differ). Recall
+    for J >= 0.8 is 1-(1-J/(2-J))^3 ≈ 0.96 per the MinHash collision
+    bound; exact Jaccard then confirms. Emits pairs with J >= 0.8.
+
+    Candidate blowup guard: band buckets larger than
+    _NGRAM_BUCKET_CAP are dropped before the self-join (broadcast
+    anti-join against the few oversized (band, bkt) keys — the
+    overflow list is bounded by n_docs/cap), so the candidate set is
+    O(n_docs * cap), never O(k^2) on a boilerplate bucket. Dropped
+    buckets stay auditable via ngram_band_overflow."""
+    grams, bands = _ngram_grams_and_bands(spark, sf_dir)
+    oversized = (
+        bands.groupBy("band", "bkt")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > _NGRAM_BUCKET_CAP)
+        .select("band", "bkt")
+    )
+    bands = bands.join(F.broadcast(oversized), ["band", "bkt"], "left_anti")
     pairs = (
         bands.alias("x")
         .join(
@@ -328,8 +360,12 @@ _NGRAM_PAIRS_CTES = f"""words AS (
   SELECT doc_id,
          {", ".join(f"min(md5('{b}' || g)) AS mh{b}" for b in range(_NGRAM_BANDS))}
   FROM grams GROUP BY doc_id
-), bands AS (
+), bands_all AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, mh{b} AS bkt FROM sig" for b in range(_NGRAM_BANDS))}
+), oversized AS (
+  SELECT band, bkt FROM bands_all GROUP BY band, bkt HAVING count(*) > {_NGRAM_BUCKET_CAP}
+), bands AS (
+  SELECT b.* FROM bands_all b ANTI JOIN oversized o ON b.band = o.band AND b.bkt = o.bkt
 ), pairs AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
   ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
@@ -349,6 +385,27 @@ _NGRAM_PAIRS_CTES = f"""words AS (
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH {_NGRAM_PAIRS_CTES}
 SELECT a, b, jaccard FROM pj
+"""
+
+
+def q_ngram_band_overflow(spark, sf_dir):
+    """Audit query for the n-gram LSH bucket cap ("no silent caps"):
+    every band bucket q_ngram_jaccard_pairs EXCLUDED from candidate
+    generation, with its size and min member — the rows a curation run
+    logs/routes to exact-dedup instead. Empty when nothing was capped
+    (the normal case). Plain map-side-combinable groupBy; linear."""
+    _, bands = _ngram_grams_and_bands(spark, sf_dir)
+    return (
+        bands.groupBy("band", "bkt")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("bucket_size") > _NGRAM_BUCKET_CAP)
+    )
+
+
+SQL_NGRAM_BAND_OVERFLOW = f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT band, bkt, count(*) AS bucket_size, min(doc_id) AS min_doc
+FROM bands_all GROUP BY band, bkt HAVING count(*) > {_NGRAM_BUCKET_CAP}
 """
 
 
@@ -1689,20 +1746,36 @@ FROM (SELECT doc_id, t,
 """
 
 
+_MIX_K = 5
+_MIX_SALTS = 8
+
+
 def q_domain_mix_sample(spark, sf_dir):
     """Stratified deterministic sampling for domain-mix control: keep
     the top-5 docs per source ranked by md5(doc_id) — a seedless,
     engine-portable random order. The shape every data-mixture
     pipeline runs (per-domain quota sampling).
 
-    Scale: one shuffle partitioned by source; with many sources the
-    window parallelizes; a single giant source is the known window
-    skew case and would be pre-salted like the scheduler's windows."""
+    Scale: TWO-STAGE salted top-k (the scheduler's skew pattern).
+    Stage 1 ranks within (source, xxhash64(doc_id) % n_salts) and
+    keeps rank <= k — a giant source (half a web crawl on one CDN
+    domain) splits into n_salts window partitions instead of one
+    unsplittable one. Stage 2 re-ranks the <= k*n_salts survivors per
+    source, which is O(k*n_salts) rows per source regardless of input
+    skew. Result is IDENTICAL to a single window: the global top-k by
+    md5 order is a subset of every salt bucket's top-k, and md5 order
+    is salt-independent."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    key = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_MIX_SALTS)).cast("int")
+    w1 = Window.partitionBy("source", "_salt").orderBy("_key")
+    w2 = Window.partitionBy("source").orderBy("_key")
     return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        docs.select("source", "doc_id", key.alias("_key"), salt.alias("_salt"))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= _MIX_K)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _MIX_K)
         .select("source", "doc_id", "rk")
     )
 
@@ -1720,10 +1793,19 @@ def q_unigram_logprob(spark, sf_dir):
     against corpus-wide word frequencies (the cheap stand-in for a
     KenLM perplexity filter; same two-pass shape).
 
-    Scale: pass 1 builds the vocabulary (map-side-combined groupBy —
-    Zipf vocab is tiny vs corpus, broadcastable); pass 2 joins tokens
-    to the broadcast vocab and re-aggregates per doc_id. No stage is
-    quadratic; both shuffles are keyed by high-cardinality columns."""
+    Scale / cardinality contract: pass 1 builds the vocabulary
+    (map-side-combined groupBy); pass 2 joins tokens to the vocab and
+    re-aggregates per doc_id. The vocab of an open-web corpus is NOT
+    bounded (typos/hashes/URLs tokenize to billions of distinct
+    "words"), so the vocab join carries no broadcast hint: AQE picks
+    broadcast at runtime when the aggregate turns out small (the
+    testdata case) and a shuffled hash/sort-merge join on the
+    high-cardinality key `w` otherwise — either is linear; a forced
+    broadcast would OOM the driver at 100 TB. Only the 1-row corpus
+    total is force-broadcast. Production KenLM-style filters
+    additionally frequency-floor the vocab (HAVING wc >= k); omitted
+    here because it changes scores and the oracle pins exact
+    semantics."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     vocab = toks.groupBy("w").agg(F.count("*").alias("wc"))
@@ -1731,7 +1813,7 @@ def q_unigram_logprob(spark, sf_dir):
     # one plan, one execution of the token explode, no eager action
     total = toks.agg(F.count("*").cast("double").alias("_n"))
     scored = (
-        toks.join(F.broadcast(vocab), "w")
+        toks.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("wc") / F.col("_n")).alias("lp"))
     )
@@ -1768,6 +1850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_band_overflow": q_ngram_band_overflow,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_stars": q_dedup_clusters_stars,
     "simhash_dedup": q_simhash_dedup,
@@ -1814,6 +1897,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "ngram_band_overflow": SQL_NGRAM_BAND_OVERFLOW,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_clusters_stars": SQL_DEDUP_CLUSTERS,
     "simhash_dedup": SQL_SIMHASH_DEDUP,

@@ -1,10 +1,12 @@
-"""Round-4 training-data curation queries: Gopher repetition rules,
-PII scrub, stratified domain-mix sampling, corpus-unigram quality
-score. Value parity vs DuckDB is the driver gate; here we pin the
-semantics on hand-built rows and the scale-critical plan shapes."""
+"""Training-data curation queries (rounds 4-5): Gopher repetition
+rules, PII scrub, stratified domain-mix sampling, corpus-unigram
+quality score, and the n-gram LSH bucket cap. Value parity vs DuckDB
+is the driver gate; here we pin the semantics on hand-built rows and
+the scale-critical plan shapes."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from python_crawler_spark.queries import QUERIES
@@ -101,10 +103,22 @@ def test_pii_scrub_plan_is_pure_codegen_map(spark):
     assert "* Project" in plan  # '*' = inside a WholeStageCodegen span
 
 
-def test_unigram_logprob_vocab_join_is_broadcast(spark):
-    plan = _plan(QUERIES["unigram_logprob"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+def test_unigram_logprob_vocab_join_not_forced_broadcast(spark):
+    """VERDICT r4 #1: an open-web vocab is an unbounded aggregate, so
+    the token->vocab join must carry NO broadcast hint (a hint forces
+    the broadcast at any size and OOMs at 100 TB). With auto-broadcast
+    disabled, only a hint could still produce a BroadcastHashJoin —
+    assert the vocab join degrades to a shuffle join while the 1-row
+    corpus total stays deliberately hinted."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["unigram_logprob"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row total
 
 
 def test_gopher_repetition_no_cartesian_and_partial_agg(spark):
@@ -115,9 +129,69 @@ def test_gopher_repetition_no_cartesian_and_partial_agg(spark):
     assert "partial_count" in plan or "partial_max" in plan
 
 
-def test_domain_mix_sample_single_source_shuffle(spark):
+def test_domain_mix_sample_two_stage_salted_windows(spark):
+    """VERDICT r4 #2: the top-k must never run a window partitioned by
+    raw source alone over the full input — stage 1 is keyed by
+    (source, _salt) so a hot source splits across _MIX_SALTS window
+    partitions; stage 2's per-source window only ever sees the
+    <= k*n_salts stage-1 survivors."""
     plan = _plan(QUERIES["domain_mix_sample"](spark, SF_DIR))
-    assert plan.count("Exchange") <= 2  # the window's hash partition only
+    assert plan.count("Window") >= 2  # two-stage rank
+    assert "_salt" in plan  # stage-1 partition key carries the salt
+    # two physical Exchanges (salt shuffle + survivor shuffle); the
+    # formatted plan names each node twice (tree line + detail block)
+    assert plan.count("Exchange") <= 4
+
+
+def test_domain_mix_sample_skewed_equals_single_window(spark, tmp_path):
+    """On a skewed fixture (80% of docs on one CDN-like source) the
+    salted two-stage top-k must return EXACTLY the single-window
+    result — the salt changes the plan, never the answer."""
+    rows = [
+        (i, f"text {i}", "en", "cdn.example" if i < 400 else f"s{i % 7}", 10)
+        for i in range(500)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = sorted(
+        map(tuple, QUERIES["domain_mix_sample"](spark, str(tmp_path)).collect())
+    )
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ref = sorted(
+        map(
+            tuple,
+            docs.withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 5")
+            .select("source", "doc_id", "rk")
+            .collect(),
+        )
+    )
+    assert got == ref
+
+
+def test_ngram_bucket_cap_drops_boilerplate_not_real_pairs(spark, tmp_path):
+    """VERDICT r4 #3: k docs sharing a boilerplate gram set must not
+    self-join into O(k^2) candidate pairs. 70 identical docs (> cap
+    64) overflow all 3 band buckets and emit ZERO pairs, while a
+    genuine near-dup pair in a small bucket is still found; the
+    dropped buckets stay auditable via ngram_band_overflow."""
+    boiler = "the quick brown fox jumps over a lazy dog again and again"
+    base = " ".join(f"w{i}" for i in range(11))
+    rows = [(i, boiler, "en", "s", 1) for i in range(70)]
+    rows += [
+        (1000, base + " theta", "en", "s", 1),  # 12 words, 10 grams
+        (1001, base + " iota", "en", "s", 1),  # J = 9/11 ~ 0.818 >= 0.8
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    pairs = QUERIES["ngram_jaccard_pairs"](spark, str(tmp_path)).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1000, 1001)}
+    over = QUERIES["ngram_band_overflow"](spark, str(tmp_path)).collect()
+    assert len(over) == 3  # one oversized bucket per band
+    assert all(r["bucket_size"] == 70 and r["min_doc"] == 0 for r in over)
 
 
 def test_gopher_repetition_single_token_doc_excluded(spark, tmp_path):
