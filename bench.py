@@ -44,23 +44,24 @@ def _jvm_cpu_seconds(spark) -> float:
     """Cumulative CPU seconds of the local-mode JVM (all executor
     threads), read from /proc. Printed per frontier rep so a slow rep
     is attributable: wall up + CPU flat = host steal (another tenant
-    on this shared-silicon guest), wall up + CPU up = the job itself."""
+    on this shared-silicon guest), wall up + CPU up = the job itself.
+
+    The gateway JVM's pid comes from RuntimeMXBean.getName() ("pid@
+    host") via py4j — exact regardless of how many wrapper processes
+    (spark-submit, shell) sit between the Python driver and the JVM
+    (ADVICE r4: the old PPID==driver match silently returned NaN
+    whenever the JVM was a grandchild)."""
     try:
-        me = os.getpid()
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid}/stat") as fh:
-                    raw = fh.read()
-            except OSError:
-                continue
-            comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
-            parts = raw.rsplit(")", 1)[1].split()
-            if parts[1] == str(me) and "java" in comm:
-                utime, stime = int(parts[11]), int(parts[12])
-                return (utime + stime) / os.sysconf("SC_CLK_TCK")
-        return float("nan")
+        jvm_pid = int(
+            spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+            .getName()
+            .split("@")[0]
+        )
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            raw = fh.read()
+        parts = raw.rsplit(")", 1)[1].split()
+        utime, stime = int(parts[11]), int(parts[12])
+        return (utime + stime) / os.sysconf("SC_CLK_TCK")
     except Exception:
         return float("nan")
 

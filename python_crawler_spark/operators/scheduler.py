@@ -45,13 +45,17 @@ PRIORITY_COLS = ["source_rank", "line_no", "stage", "page_no", "link_idx", "atte
 # of range raises rather than silently mis-ordering. 4+30+3+12+10+4 =
 # 63 bits — the packed value stays non-negative in a signed 64-bit
 # long.
+# Widths give each field the guarded domain [-1, 2^bits - 2] (the +1
+# bias in pack_order spends one code point on the -1 sentinel and the
+# guard excludes the all-ones top value), so the usable maxima are one
+# LESS than the naive 2^bits reading (ADVICE r4):
 PRIORITY_WIDTHS = [
-    ("source_rank", 4),   # 16 sources (3 known + sentinel today)
-    ("line_no", 30),      # ~1.07B seed lines per source
-    ("stage", 3),
-    ("page_no", 12),      # 4096 list pages
-    ("link_idx", 10),     # 1024 links harvested per page
-    ("attempt", 4),       # 16 retries
+    ("source_rank", 4),   # ranks -1..14: 15 sources (3 known + sentinel today)
+    ("line_no", 30),      # up to 2^30 - 2 = 1,073,741,822 seed lines per source
+    ("stage", 3),         # stages -1..6
+    ("page_no", 12),      # up to 4094 list pages
+    ("link_idx", 10),     # up to 1022 links harvested per page
+    ("attempt", 4),       # up to 14 retries
 ]
 
 
@@ -85,9 +89,15 @@ def lex_source_rank(sources: list[str]) -> "F.Column":
     """Rank of the ``source`` string within the LEXICOGRAPHICALLY
     sorted known-source list — substituting this rank for the string
     in a packed ordering preserves exactly the semantics of ordering
-    by the string itself. Unknown sources raise (the crawl config
-    defines the universe; callers with open-ended sources should use
-    the generic struct ordering instead)."""
+    by the string itself. Unknown sources raise — DELIBERATELY
+    stricter than with_priority's shared sentinel rank (ADVICE r4):
+    scheduling only needs unknown sources grouped after the known ones
+    (ties there shift ref_seq labels, never which rows fetch), but
+    first-occurrence dedup uses this rank to pick WHICH duplicate row
+    survives, and a shared sentinel would make two distinct unknown
+    sources compare equal — a nondeterministic winner. A new source
+    must be added to SOURCE_RANK (one line) before its rows may reach
+    dedup; failing loudly here beats silently unstable dedup output."""
     rank = None
     for i, s in enumerate(sorted(sources)):
         rank = (rank.when if rank is not None else F.when)(
@@ -110,8 +120,10 @@ def packed_dedup_order_col(sources: list[str]) -> "F.Column":
 class CheckpointHandle:
     """Per-call registry of RDD ids a schedule() /
     global_rank_and_cumsum() call localCheckpointed. Since round 4 the
-    scheduler checkpoints NOTHING (the offsets and window passes share
-    one AQE-reused exchange — see global_rank_and_cumsum), so handles
+    scheduler checkpoints NOTHING (round 5: the bucket id is a pure
+    function of the row against driver-collected literal bounds, so
+    the offsets and window passes agree by construction — see
+    global_rank_and_cumsum), so handles
     free zero blocks; the API is kept so call sites stay uniform and
     so any future materialization slots back into the same
     deterministic-free contract (free by handle, never a global
@@ -205,30 +217,72 @@ def global_rank_and_cumsum(
     (the single-thread virtual clock: a fetch starts after the delays
     of everything before it).
 
-    Two-pass: (1) range-repartition on (partition_col?, order_cols) so
-    each task holds a contiguous key range; (2) per-partition window
-    rank/cumsum; (3) add per-partition offsets (row counts + delay
-    totals) computed once and broadcast — O(#partitions) driver data,
-    no single-partition shuffle at any scale.
+    Three steps: (1) a one-job bounds pass collects ~n_range_partitions
+    approximate per-group percentile cut points of the order key to the
+    driver (O(groups * n) rows — the same cardinality
+    repartitionByRange's own sampler collects) and embeds them as
+    LITERALS; (2) ``_bucket`` = count of cut points <= key, a PURE
+    FUNCTION OF THE ROW, order-monotone in the key; (3) a per-bucket
+    window computes local rank/cumsum while a map-side-combined
+    groupBy(part, _bucket) computes per-bucket totals, whose exclusive
+    prefix sums are broadcast back as offsets — O(groups * buckets)
+    driver data, no single-partition shuffle at any scale.
+
+    Rounds 2-4 derived the bucket from repartitionByRange +
+    spark_partition_id() instead. That made the offsets pass and the
+    window pass two physically independent executions of the SAME
+    range exchange (Catalyst's relation dedup gives the two branches
+    different attribute ids, so neither planner-time exchange reuse
+    nor AQE's stage cache unifies them — verified in the executed
+    plan), and correctness of the _pid match between the passes then
+    rested on the exchange's sampler resampling identically from a
+    possibly order-nondeterministic shuffle child (ADVICE r4 #1).
+    Literal bounds make the bucket assignment identical across
+    re-executions BY CONSTRUCTION — either pass may recompute freely,
+    in any order — and drop both full-data range exchanges from the
+    plan (the window's hash exchange on (part, _bucket) is now the
+    only full-data shuffle; the totals pass partially aggregates
+    map-side before its tiny shuffle).
     """
     part = [partition_col] if partition_col else []
-    range_cols = [F.col(c) for c in part + [c for c in order_cols if c not in part]]
-    dfp = df.repartitionByRange(n_range_partitions, *range_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    if len(order_cols) != 1:
+        raise ValueError(
+            "global_rank_and_cumsum orders by ONE column; pack compound "
+            "priorities first (pack_order) so every comparator and the "
+            "bucket bounds work on a single BIGINT"
+        )
+    key = order_cols[0]
+    qs = [i / n_range_partitions for i in range(1, n_range_partitions)]
+    brows = (
+        df.groupBy(*part)
+        .agg(F.percentile_approx(key, qs, 10_000).alias("_b"))
+        .collect()
     )
-    # The offsets pass and the window pass below both consume dfp. No
-    # materialization is needed between them: both subplans share the
-    # identical range-exchange, and AQE's runtime stage cache executes
-    # that shuffle ONCE per action (measured: a localCheckpoint here —
-    # rounds 2-4's approach — cost ~25% of the whole schedule stage at
-    # 8M rows for zero benefit). If stage reuse were ever defeated, the
-    # result is still CORRECT, just slower: repartitionByRange's
-    # sampler and partitioner are deterministic functions of the input,
-    # so a recomputed exchange assigns every row (ties included) to the
-    # same _pid and the offsets still describe exactly the partitions
-    # the window pass sees. Callers should still pass a cheap-to-rescan
-    # ``df`` (every engine call site feeds a localCheckpoint or a
-    # source table) — the range sampler pre-scans the child once.
+
+    def _bucket_of(bounds: list) -> "F.Column":
+        # count of cut points <= key: monotone in key, ties at a cut
+        # point share a bucket, and any bound set is CORRECT (balance
+        # is the only thing percentile accuracy affects)
+        arr = F.array(*[F.lit(b) for b in bounds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0),
+        )
+
+    if part:
+        bucket = F.lit(0)
+        for r in brows:
+            bounds = sorted(set(r["_b"] or []))
+            if bounds:
+                bucket = (
+                    F.when(F.col(part[0]) == r[part[0]], _bucket_of(bounds))
+                    .otherwise(bucket)
+                )
+    else:
+        bounds = sorted(set(brows[0]["_b"] or [])) if brows else []
+        bucket = _bucket_of(bounds) if bounds else F.lit(0)
+    dfp = df.withColumn("_pid", bucket.cast("int"))
     totals = (
         dfp.groupBy(*part, "_pid")
         .agg(F.count("*").alias("_cnt"), F.sum(value_col).alias("_sum"))

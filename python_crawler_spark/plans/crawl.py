@@ -570,8 +570,10 @@ class CrawlRun:
         ckpt = CheckpointHandle()
         plan = schedule(new, n_salts=cfg.n_salts, handle=ckpt)
         fetched = self._fetch(plan).localCheckpoint(eager=True)
-        # Since round 4 schedule() materializes nothing (its two rank
-        # passes share one AQE-reused exchange), so this frees zero
+        # Since round 4 schedule() materializes nothing (round 5: its
+        # offsets and window passes agree on driver-collected literal
+        # bucket bounds — pure row functions, no shared exchange or
+        # determinism-on-recompute needed), so this frees zero
         # blocks — kept as the contractual release point so any future
         # scheduler materialization is freed here, by handle, the
         # moment `fetched` exists (round-2 verdict #2 / ADVICE r3 #2).

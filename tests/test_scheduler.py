@@ -196,11 +196,95 @@ def test_canonicalize_col_matches_scalar(spark):
         assert got2[u] == canonicalize_url(u), u
 
 
+def test_schedule_bucket_is_pure_row_function(spark):
+    """ADVICE r4 (medium): rounds 2-4 derived the rank bucket from
+    repartitionByRange + spark_partition_id(), so the offsets pass and
+    the window pass were two independent executions of the same range
+    exchange (relation dedup defeats exchange reuse) and their _pid
+    agreement rested on deterministic resampling of a shuffle child.
+    Round 5 buckets against driver-collected literal bounds instead —
+    pin that the executed plan carries NO physical-partition-id
+    dependence and NO range exchange, on a deliberately shuffle-heavy
+    input (the run_round shape the advisor flagged)."""
+    f = _frontier(spark, n_per_source=200).repartition(7, "url")
+    plan = schedule(f, n_salts=2, n_range_partitions=8)
+    plan.collect()
+    ep = plan._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" not in ep
+    assert "Exchange rangepartitioning" not in ep
+    # exactly two full-data shuffles remain: the rank window's hash
+    # exchange on (source_rank, _pid) and the host-queue window's on
+    # (_host_key, host_salt); the offsets totals shuffle is map-side
+    # partially aggregated
+    assert "partial_count" in ep or "HashAggregate" in ep
+
+
+def test_schedule_equals_single_partition_reference(spark):
+    """End-to-end rank/cumsum identity: the distributed bucketed
+    two-pass must produce EXACTLY the ref_seq/ref_virtual_ts a plain
+    single-partition window would, on a shuffle-scrambled input with
+    duplicate crawl delays. Known sources only: the two sentinel-rank
+    mystery sources of _frontier would TIE on the full priority tuple,
+    making both sides' row_number assignment arbitrary."""
+    from pyspark.sql import Window
+
+    rows = [
+        (
+            f"http://h{i}.example.com/n/{j}",
+            src,
+            j,
+            2,
+            0,
+            j % 7,
+            0,
+            float(j % 3),
+            f"h{i}.example.com",
+        )
+        for i, src in enumerate(["weixin", "chuansongmen", "tianyan"])
+        for j in range(150)
+    ]
+    base = spark.createDataFrame(rows, FRONTIER_DDL)
+    f = base.repartition(5, "url")
+    got = schedule(f, n_salts=2, n_range_partitions=8).select(
+        "url", "ref_seq", "ref_virtual_ts"
+    )
+    ref = (
+        with_priority(base)
+        .withColumn(
+            "ref_seq2",
+            F.row_number().over(
+                Window.partitionBy("source_rank").orderBy(
+                    "line_no", "stage", "page_no", "link_idx", "attempt"
+                )
+            ),
+        )
+        .withColumn(
+            "ref_virtual_ts2",
+            F.coalesce(
+                F.sum("crawl_delay").over(
+                    Window.partitionBy("source_rank")
+                    .orderBy("line_no", "stage", "page_no", "link_idx", "attempt")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .select("url", "ref_seq2", "ref_virtual_ts2")
+    )
+    joined = got.join(ref, "url")
+    bad = joined.filter(
+        (F.col("ref_seq") != F.col("ref_seq2"))
+        | (F.abs(F.col("ref_virtual_ts") - F.col("ref_virtual_ts2")) > 1e-9)
+    )
+    assert bad.count() == 0
+
+
 def test_schedule_no_persistent_rdd_growth(spark):
     """round-2 verdict #2 lineage: schedule() once persist()ed (leak),
     then localCheckpointed + freed by handle (rounds 3-4). Since round
-    4 it materializes NOTHING — the offsets and window passes share one
-    AQE-reused exchange — so the invariant is stronger: repeated
+    4 it materializes NOTHING — round 5 buckets on literal bounds, so
+    there is no shared exchange to protect — and the invariant is
+    stronger: repeated
     schedule() calls create zero persistent RDD blocks, with no free
     call required at all."""
     from python_crawler_spark.operators.scheduler import free_schedule_checkpoints
