@@ -165,6 +165,19 @@ def main() -> None:
     os.dup2(devnull, 1)
     os.dup2(devnull, 2)
     try:
+        # Drain persistent blocks with BLOCKING unpersists first: the
+        # per-rep cleanup uses unpersist(blocking=False), and a stop()
+        # racing those still-in-flight continuations shut their
+        # single-thread pool down mid-future — the
+        # RejectedExecutionException storm in every r3/r4 bench tail
+        # (VERDICT r4 'What's wrong' #5). A synchronous drain
+        # serializes behind the queued removals, so stop() finds the
+        # pools idle. (Note the fd redirect below only silences the
+        # PYTHON side; the JVM child owns its own fd 2, so the storm
+        # had to be prevented, not redirected.)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(True)
         spark.sparkContext.setLogLevel("OFF")
         spark.stop()
         time.sleep(1.0)  # let async shutdown threads finish their noise
