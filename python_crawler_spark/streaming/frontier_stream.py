@@ -117,11 +117,23 @@ def stateful_stream_dedup(enriched: DataFrame) -> DataFrame:
     )
 
 
+class OutOfOrderArrivalError(RuntimeError):
+    """A micro-batch contained rows whose priority precedes a PRIOR
+    epoch's committed watermark — merging them would silently produce
+    a global ref_seq different from what a batch replay of the same
+    rows yields. The in-order-arrival contract is CHECKED, not merely
+    documented (VERDICT r4 next-round #4); production systems that
+    must tolerate stragglers should route the offending file to a
+    quarantine table and re-sequence it instead of appending."""
+
+
 def _load_source_offsets(spark: SparkSession, off_dir: str, epoch_id: int):
-    """Per-source (cnt_off, delay_off) as of the latest epoch STRICTLY
-    BEFORE epoch_id, or None when no prior epoch committed offsets.
-    Strictly-before matters for replay: if epoch k crashed after
-    writing its own offsets, the retry must NOT start from them."""
+    """Per-source (cnt_off, delay_off, max_prio) as of the latest
+    epoch STRICTLY BEFORE epoch_id, or None when no prior epoch
+    committed offsets. Strictly-before matters for replay: if epoch k
+    crashed after writing its own offsets, the retry must NOT start
+    from them. ``max_prio`` is the ordering watermark: the largest
+    within-source packed priority scheduled by any prior epoch."""
     try:
         allo = spark.read.parquet(off_dir).filter(F.col("epoch") < epoch_id)
         last = allo.agg(F.max("epoch")).first()[0]
@@ -129,7 +141,9 @@ def _load_source_offsets(spark: SparkSession, off_dir: str, epoch_id: int):
         return None
     if last is None:
         return None
-    return allo.filter(F.col("epoch") == last).select("source", "cnt_off", "delay_off")
+    return allo.filter(F.col("epoch") == last).select(
+        "source", "cnt_off", "delay_off", "max_prio"
+    )
 
 
 def run_micro_batches(
@@ -158,21 +172,32 @@ def run_micro_batches(
     Continuity semantics: the global sequence equals a single-batch
     run's exactly when micro-batch boundaries respect the priority
     order (producers drop frontier files in discovery order — the
-    normal case). Out-of-order arrivals still get a valid, gap-free
-    per-source sequence in ARRIVAL order. host_rank/host_scheduled_at
+    normal case). The contract is ENFORCED per epoch: each commit
+    carries a per-source ordering watermark (max within-source packed
+    priority scheduled so far), and a later batch whose minimum
+    priority falls below a prior watermark raises
+    OutOfOrderArrivalError BEFORE anything is appended — fail-loud
+    beats silently emitting a sequence a batch replay would not
+    produce. Ties at the watermark pass (identical priority tuples
+    are order-insensitive). host_rank/host_scheduled_at
     stay per-batch (a host's polite queue is re-planned every batch
     anyway; carrying it would pin dead hosts in state forever)."""
     from ..operators.dedup import batch_first_occurrence, dedup_against_seen
     from ..operators.scheduler import (
         PRIORITY_COLS,
+        PRIORITY_WIDTHS,
         SOURCE_RANK,
         CheckpointHandle,
         free_schedule_checkpoints,
+        pack_order,
         packed_dedup_order_col,
         schedule,
     )
 
     off_dir = checkpoint_dir.rstrip("/") + "_source_offsets"
+    # within-source priority (everything below source_rank): comparable
+    # across epochs for the same source
+    sub_prio = pack_order([(F.col(n), b, n) for n, b in PRIORITY_WIDTHS[1:]])
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -185,12 +210,43 @@ def run_micro_batches(
             order_col=packed_dedup_order_col(sorted(SOURCE_RANK)),
         )
         new = dedup_against_seen(cand, seen, None)
+        prev = _load_source_offsets(spark, off_dir, epoch_id)
+        # per-source priority envelope of THIS batch (tiny agg), used
+        # for the ordering guard now and the watermark commit below
+        stats = {
+            r["source"]: (r["_min_prio"], r["_max_prio"])
+            for r in new.groupBy("source")
+            .agg(F.min(sub_prio).alias("_min_prio"), F.max(sub_prio).alias("_max_prio"))
+            .collect()
+        }
+        wm: dict = {}
+        if prev is not None:
+            wm = {
+                r["source"]: r["max_prio"]
+                for r in prev.select("source", "max_prio").collect()
+                if r["max_prio"] is not None
+            }
+            late = {
+                s: (lo, wm[s])
+                for s, (lo, _) in stats.items()
+                if s in wm and lo < wm[s]
+            }
+            if late:
+                raise OutOfOrderArrivalError(
+                    f"epoch {epoch_id}: rows precede the committed ordering "
+                    f"watermark for {sorted(late)} (min_prio vs watermark: "
+                    f"{late}) — a file arrived out of priority order; "
+                    "re-sequence or quarantine it instead of appending"
+                )
         ckpt = CheckpointHandle()
         plan = schedule(new, n_salts=n_salts, handle=ckpt)
-        prev = _load_source_offsets(spark, off_dir, epoch_id)
         if prev is not None:
             plan = (
-                plan.join(F.broadcast(prev), "source", "left")
+                plan.join(
+                    F.broadcast(prev.select("source", "cnt_off", "delay_off")),
+                    "source",
+                    "left",
+                )
                 .withColumn(
                     "ref_seq", F.col("ref_seq") + F.coalesce("cnt_off", F.lit(0))
                 )
@@ -206,7 +262,9 @@ def run_micro_batches(
             F.count("*").alias("_cnt"), F.sum("crawl_delay").alias("_dl")
         )
         if prev is not None:
-            merged = batch_tot.join(prev, "source", "full_outer").select(
+            merged = batch_tot.join(
+                prev.select("source", "cnt_off", "delay_off"), "source", "full_outer"
+            ).select(
                 "source",
                 (F.coalesce("cnt_off", F.lit(0)) + F.coalesce("_cnt", F.lit(0))).alias("cnt_off"),
                 (F.coalesce("delay_off", F.lit(0.0)) + F.coalesce("_dl", F.lit(0.0))).alias("delay_off"),
@@ -217,6 +275,18 @@ def run_micro_batches(
                 F.col("_cnt").alias("cnt_off"),
                 F.col("_dl").alias("delay_off"),
             )
+        # ordering watermark: carried max within-source priority, merged
+        # driver-side (both inputs are per-source scalars already in hand)
+        new_wm = dict(wm)
+        for s, (_, hi) in stats.items():
+            if hi is not None:
+                new_wm[s] = max(new_wm.get(s, -1), hi)
+        wm_expr = (
+            F.create_map(*[x for s, v in new_wm.items() for x in (F.lit(s), F.lit(v))])
+            if new_wm
+            else F.create_map()
+        )
+        merged = merged.withColumn("max_prio", wm_expr[F.col("source")].cast("long"))
         merged.coalesce(1).write.mode("overwrite").parquet(
             f"{off_dir}/epoch={epoch_id}"
         )
