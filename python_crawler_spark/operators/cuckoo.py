@@ -179,10 +179,30 @@ def _delete_one(filt: dict, h: np.ndarray) -> dict:
     fp = _fingerprints(h)
     i1, i2 = _index_pair(h, fp, m)
     stash_keep = np.ones(len(stash_fp), dtype=bool)
-    # per-key single-slot clear is inherently sequential per collision
-    # group, but deletion batches are retraction events (rare, small) —
-    # not the per-candidate hot path, which stays fully vectorized
-    for k in range(len(h)):
+    # Vectorized majority (VERDICT r4 next-round #8): each key clears
+    # ONE slot in its chosen bucket (i1 if it holds the fingerprint,
+    # else i2). Keys whose chosen (bucket, fingerprint) pair is UNIQUE
+    # within the batch can't race each other, so their first-matching
+    # slot is cleared in one fancy-indexed write; only keys SHARING a
+    # (bucket, fp) pair (several copies of the same fingerprint to
+    # clear from one bucket) plus stash-resident keys fall back to the
+    # sequential path — both rare.
+    n = len(h)
+    if n:
+        match1 = slots[i1] == fp[:, None]
+        has1 = match1.any(axis=1)
+        chosen = np.where(has1, i1, i2)
+        matchc = slots[chosen] == fp[:, None]
+        hasc = matchc.any(axis=1)
+        firstc = matchc.argmax(axis=1)
+        pair = chosen.astype(np.int64) * (1 << 32) + fp.astype(np.int64)
+        _, inv, cnt = np.unique(pair, return_inverse=True, return_counts=True)
+        solo = (cnt[inv] == 1) & hasc
+        slots[chosen[solo], firstc[solo]] = 0
+        rest = np.flatnonzero(~solo)
+    else:
+        rest = np.arange(0)
+    for k in rest:
         done = False
         for idx in (i1[k], i2[k]):
             sl = slots[idx]

@@ -109,3 +109,75 @@ def test_spark_two_phase_equals_exact(spark):
             .collect()
         )
         assert sorted(r["url"] for r in got) == exact
+
+
+def _delete_one_reference(filt, h):
+    """Sequential-loop reference (the pre-round-5 implementation of
+    _delete_one), kept verbatim as the parity oracle for the
+    vectorized majority path."""
+    from python_crawler_spark.operators.cuckoo import (
+        SLOTS_PER_BUCKET,
+        _fingerprints,
+        _index_pair,
+    )
+
+    m = int(filt["m_buckets"])
+    slots = filt["slots"].copy().reshape(m, SLOTS_PER_BUCKET)
+    stash_fp = filt["stash_fp"].copy()
+    stash_idx = filt["stash_idx"].copy()
+    h = np.unique(h)
+    fp = _fingerprints(h)
+    i1, i2 = _index_pair(h, fp, m)
+    stash_keep = np.ones(len(stash_fp), dtype=bool)
+    for k in range(len(h)):
+        done = False
+        for idx in (i1[k], i2[k]):
+            sl = slots[idx]
+            where = np.flatnonzero(sl == fp[k])
+            if len(where):
+                sl[where[0]] = 0
+                done = True
+                break
+        if not done and len(stash_fp):
+            cm = min(i1[k], i2[k])
+            where = np.flatnonzero(stash_keep & (stash_fp == fp[k]) & (stash_idx == cm))
+            if len(where):
+                stash_keep[where[0]] = False
+    return {
+        "slots": slots.ravel(),
+        "stash_fp": stash_fp[stash_keep],
+        "stash_idx": stash_idx[stash_keep],
+        "n_items": int(filt["n_items"]) - len(h),
+        "m_buckets": m,
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 7])
+def test_vectorized_delete_matches_sequential_reference(seed):
+    """The round-5 vectorized _delete_one must leave the filter in a
+    state EQUIVALENT to the sequential reference for every batch —
+    including batches engineered to collide (duplicate keys resolved
+    by np.unique, different keys sharing a bucket, stash residents).
+    Slot ORDER within a bucket may differ (which copy of a repeated
+    fingerprint is cleared is unspecified); the multiset of remaining
+    fingerprints per bucket is the contract — every later probe sees
+    identical membership."""
+    from python_crawler_spark.operators.cuckoo import SLOTS_PER_BUCKET, _probe_one
+
+    rng = np.random.default_rng(seed)
+    h = _keys(rng, 5000)
+    filt = _build_one(h)
+    # delete a mix: members, duplicates in the batch, and dense ranges
+    # (dense int64 keys collide in buckets far more than uniform ones)
+    gone = np.concatenate([h[::3], h[:50], np.sort(h)[:200]])
+    got = _delete_one(filt, gone)
+    want = _delete_one_reference(filt, gone)
+    m = int(filt["m_buckets"])
+    gs = np.sort(got["slots"].reshape(m, SLOTS_PER_BUCKET), axis=1)
+    ws = np.sort(want["slots"].reshape(m, SLOTS_PER_BUCKET), axis=1)
+    assert (gs == ws).all(), "per-bucket fingerprint multisets diverged"
+    assert got["n_items"] == want["n_items"]
+    assert np.array_equal(np.sort(got["stash_fp"]), np.sort(want["stash_fp"]))
+    # behavioral check: survivors still probe as present
+    kept = np.setdiff1d(h, gone)
+    assert _probe_one(got, kept).all()
