@@ -156,9 +156,10 @@ def timed_schedule(
     )
     # Materialize the deduped frontier ONCE: this is the round's
     # surviving-candidate set (written as frontier state in production
-    # anyway). Without it, repartitionByRange's range-bounds sampling
-    # job would re-execute the whole canonicalize+dedup chain a second
-    # time before the real shuffle does it again.
+    # anyway). Without it, the scheduler's percentile-bounds job, its
+    # offsets pass, and its window pass would each re-execute the whole
+    # canonicalize+dedup chain (correct either way since round 5 — the
+    # bucket is a pure row function — but 3x the work).
     pre_ckpt_ids = _persistent_rdd_ids(spark)
     new = new.localCheckpoint(eager=True)
     ckpt = CheckpointHandle()

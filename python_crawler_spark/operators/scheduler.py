@@ -260,15 +260,26 @@ def global_rank_and_cumsum(
     )
 
     def _bucket_of(bounds: list) -> "F.Column":
-        # count of cut points <= key: monotone in key, ties at a cut
-        # point share a bucket, and any bound set is CORRECT (balance
-        # is the only thing percentile accuracy affects)
-        arr = F.array(*[F.lit(b) for b in bounds])
-        return F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0),
-        )
+        # count of cut points <= key, evaluated as a BALANCED BINARY
+        # comparison tree (nested CASE WHEN, depth ceil(log2(n+1))) —
+        # O(log n) codegen compares per row, so the bucket count can
+        # grow with cluster size (thousands of buckets on 1000
+        # executors) without the per-row cost growing linearly.
+        # Monotone in key; ties at a cut point share a bucket; ANY
+        # bound set is CORRECT (percentile accuracy only affects
+        # balance).
+        def tree(lo: int, hi: int) -> "F.Column":
+            # rows with bounds[lo-1] <= key < bounds[hi] (virtual
+            # sentinels) get bucket in [lo, hi]; resolve by bisection
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return (
+                F.when(F.col(key) >= F.lit(bounds[mid]), tree(mid + 1, hi))
+                .otherwise(tree(lo, mid))
+            )
+
+        return tree(0, len(bounds))
 
     if part:
         bucket = F.lit(0)

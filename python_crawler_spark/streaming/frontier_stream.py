@@ -152,6 +152,7 @@ def run_micro_batches(
     out_dir: str,
     checkpoint_dir: str,
     n_salts: int = 8,
+    on_late: str = "raise",
 ):
     """foreachBatch bridge: each micro-batch goes through the SAME
     batch operators (first-occurrence dedup -> seen anti-join ->
@@ -179,7 +180,16 @@ def run_micro_batches(
     OutOfOrderArrivalError BEFORE anything is appended — fail-loud
     beats silently emitting a sequence a batch replay would not
     produce. Ties at the watermark pass (identical priority tuples
-    are order-insensitive). host_rank/host_scheduled_at
+    are order-insensitive).
+
+    ``on_late`` picks the violation posture: ``"raise"`` (default —
+    stop the query) or ``"quarantine"`` — the LATE ROWS ONLY are
+    appended to ``<out_dir>_quarantine`` (epoch-stamped, full frontier
+    schema) and the in-order remainder of the batch is scheduled
+    normally, so one straggler file cannot stall the stream while the
+    emitted sequence stays replay-equal. An operator re-sequences the
+    quarantine table (it is ordinary frontier input) once the gap is
+    understood. host_rank/host_scheduled_at
     stay per-batch (a host's polite queue is re-planned every batch
     anyway; carrying it would pin dead hosts in state forever)."""
     from ..operators.dedup import batch_first_occurrence, dedup_against_seen
@@ -194,7 +204,10 @@ def run_micro_batches(
         schedule,
     )
 
+    if on_late not in ("raise", "quarantine"):
+        raise ValueError(f"on_late must be 'raise' or 'quarantine', got {on_late!r}")
     off_dir = checkpoint_dir.rstrip("/") + "_source_offsets"
+    quarantine_dir = out_dir.rstrip("/") + "_quarantine"
     # within-source priority (everything below source_rank): comparable
     # across epochs for the same source
     sub_prio = pack_order([(F.col(n), b, n) for n, b in PRIORITY_WIDTHS[1:]])
@@ -232,12 +245,39 @@ def run_micro_batches(
                 if s in wm and lo < wm[s]
             }
             if late:
-                raise OutOfOrderArrivalError(
-                    f"epoch {epoch_id}: rows precede the committed ordering "
-                    f"watermark for {sorted(late)} (min_prio vs watermark: "
-                    f"{late}) — a file arrived out of priority order; "
-                    "re-sequence or quarantine it instead of appending"
+                if on_late == "raise":
+                    raise OutOfOrderArrivalError(
+                        f"epoch {epoch_id}: rows precede the committed ordering "
+                        f"watermark for {sorted(late)} (min_prio vs watermark: "
+                        f"{late}) — a file arrived out of priority order; "
+                        "re-sequence or quarantine it instead of appending"
+                    )
+                # quarantine: split off ONLY the rows below their
+                # source's watermark; schedule the in-order remainder
+                wm_map = F.create_map(
+                    *[x for s, v in wm.items() for x in (F.lit(s), F.lit(v))]
                 )
+                is_late = sub_prio < F.coalesce(
+                    wm_map[F.col("source")], F.lit(-1)
+                )
+                # epoch-keyed overwrite (not append): a replayed epoch
+                # rewrites the same rows instead of duplicating them;
+                # the epoch column comes from the partition path
+                new.filter(is_late).write.mode("overwrite").parquet(
+                    f"{quarantine_dir}/epoch={epoch_id}"
+                )
+                new = new.filter(~is_late)
+                # the committed watermark must reflect scheduled rows
+                # only — recompute the envelope on the survivors
+                stats = {
+                    r["source"]: (r["_min_prio"], r["_max_prio"])
+                    for r in new.groupBy("source")
+                    .agg(
+                        F.min(sub_prio).alias("_min_prio"),
+                        F.max(sub_prio).alias("_max_prio"),
+                    )
+                    .collect()
+                }
         ckpt = CheckpointHandle()
         plan = schedule(new, n_salts=n_salts, handle=ckpt)
         if prev is not None:

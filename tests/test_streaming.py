@@ -272,3 +272,63 @@ def test_out_of_order_file_trips_watermark_guard(spark, tmp_path):
     assert emitted.agg(F.max("epoch")).first()[0] == 0
     got_urls = {r["url"] for r in emitted.select("url").collect()}
     assert got_urls == {f"http://h{i % 5}.example.com/n/{i}" for i in range(15, 27)}
+
+
+def test_out_of_order_file_quarantined_when_configured(spark, tmp_path):
+    """on_late='quarantine': the late rows land in <out>_quarantine
+    (epoch-keyed), the in-order remainder of the stream is scheduled
+    normally, and the emitted sequence stays replay-equal (epoch 0's
+    watermark untouched by the quarantined rows)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mkrows(lo, hi):
+        return [
+            (
+                f"http://h{i % 5}.example.com/n/{i}",
+                "chuansongmen", "acct", 0, 0, 2, i // 10, i % 10, 0, 1,
+                "", "", "", 3.0, False, 0, 0, t0,
+            )
+            for i in range(lo, hi)
+        ]
+
+    seen = spark.createDataFrame(
+        [], "bucket int, key_hash long, dedup_key string, url string, round int"
+    )
+    drop = tmp_path / "q_drop"
+    # f1 mixes late rows (0..14, below f0's watermark) with in-order
+    # rows (27..32, above it): only the late part may be quarantined
+    _copy_as_files(
+        spark,
+        tmp_path,
+        drop,
+        [("f0", mkrows(15, 27)), ("f1", mkrows(0, 15) + mkrows(27, 33))],
+    )
+    out, ckpt = tmp_path / "q_out", tmp_path / "q_ckpt"
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = run_micro_batches(
+        streaming_enrich(stream, n_buckets=8),
+        seen,
+        str(out),
+        str(ckpt),
+        on_late="quarantine",
+    ).start()
+    q.awaitTermination(180)
+    emitted = spark.read.parquet(str(out))
+    assert emitted.count() == 12 + 6  # f0 + f1's in-order tail
+    # the scheduled sequence continues across the epochs (no reset)
+    seqs = sorted(
+        r["ref_seq"]
+        for r in emitted.filter(F.col("epoch") == 1).select("ref_seq").collect()
+    )
+    assert seqs == list(range(13, 19))
+    quarantined = spark.read.parquet(str(out) + "_quarantine")
+    assert quarantined.count() == 15
+    assert quarantined.agg(F.max("epoch")).first()[0] == 1
+    q_urls = {r["url"] for r in quarantined.select("url").collect()}
+    assert q_urls == {f"http://h{i % 5}.example.com/n/{i}" for i in range(0, 15)}
