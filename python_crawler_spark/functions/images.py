@@ -211,9 +211,10 @@ def decode_standard(data: bytes) -> tuple[int, int, str, np.ndarray]:
     """Standard formats by signature — all real as of round 4 (the
     reference's wire formats are exactly JPEG/PNG/GIF,
     weixin_public.py:315-321): PNG via :func:`decode_png` (numpy +
-    zlib), baseline JPEG via functions/jpeg.decode_jpeg (numpy-only
-    T.81: Huffman + dequant + batched IDCT, subsampling, restart
-    intervals, grayscale — progressive raises), GIF via
+    zlib), JPEG via functions/jpeg.decode_jpeg (numpy-only T.81:
+    Huffman + dequant + batched IDCT, subsampling, restart intervals,
+    grayscale, and — round 5 — progressive/SOF2 and sequential
+    multi-scan via functions/jpeg_progressive.py), GIF via
     functions/gif.decode_gif (LZW + palettes + interlace; first frame
     here, full animation via functions/gif.decode_gif_frames)."""
     if data[:8] == _PNG_SIG:

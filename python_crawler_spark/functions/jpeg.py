@@ -14,7 +14,9 @@ implementation of baseline sequential DCT JPEG (JFIF container):
   decode, dequantize + inverse zigzag, batched IDCT, per-component
   h/v upsampling (any 1-2 sampling factors, so foreign 4:2:0 / 4:2:2
   files decode, not just this encoder's output), YCbCr -> RGB.
-  Progressive (SOF2) and arithmetic coding raise with a clear message.
+  Progressive (SOF2) and sequential multi-scan files route through
+  functions/jpeg_progressive.py (round 5); arithmetic coding,
+  lossless, and hierarchical modes raise with a clear message.
 
 Everything here derives from the public JPEG standard (ITU-T T.81 /
 ISO 10918-1: Annex K tables, Annex C canonical Huffman, Annex F
@@ -456,12 +458,16 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
-    """Baseline JPEG bytes -> (w, h, 'jpeg', (h, w, 3) uint8 RGB).
+    """JPEG bytes -> (w, h, 'jpeg', (h, w, 3) uint8 RGB).
 
-    Handles SOF0/SOF1, 8- and 16-bit DQT, multiple tables per DHT
-    segment, DRI/RSTn restart intervals, sampling factors 1-2 in each
-    axis per component, grayscale (1-component) files. Raises
-    NotImplementedError for progressive (SOF2+) and arithmetic coding."""
+    Handles SOF0/SOF1 baseline (single interleaved scan fast path and
+    multi-scan non-interleaved files) AND SOF2 progressive (spectral
+    selection + successive approximation, EOBRUN, per-scan DHT
+    redefinition — see functions/jpeg_progressive.py), 8- and 16-bit
+    DQT, multiple tables per DHT segment, DRI/RSTn restart intervals,
+    sampling factors 1-2 in each axis per component, grayscale
+    (1-component) files. Raises NotImplementedError for arithmetic
+    coding, lossless, and hierarchical modes."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -469,12 +475,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
     huff: dict[tuple[int, int], _HuffLookup] = {}
     restart_interval = 0
     frame = None
+    multi_scans: list[dict] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9 and multi_scans:  # EOI after accumulated scans
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue  # standalone
         ln = int.from_bytes(data[pos : pos + 2], "big")
@@ -505,7 +514,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG sample precision {prec} (8 only)")
@@ -516,18 +525,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
             for c in range(nf):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) — baseline sequential only"
+                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic/lossless/"
+                "hierarchical) — baseline sequential + progressive only"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 0xF})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             # entropy segment runs to the next non-RST marker
             end = pos
             while end < len(data) - 1:
@@ -537,8 +550,88 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, np.ndarray]:
                     break
                 end += 1
             entropy = data[pos:end]
-            return _decode_scan(frame, scan, qtabs, huff, restart_interval, entropy)
+            pos = end
+            if (
+                not frame.get("progressive")
+                and not multi_scans
+                and len(scan) == len(frame["comps"])
+            ):
+                # baseline single interleaved scan: original fast path
+                return _decode_scan(frame, scan, qtabs, huff, restart_interval, entropy)
+            # progressive, or sequential one-scan-per-component: the
+            # scan only PARTIALLY populates the coefficient planes —
+            # accumulate every scan (with the DHT tables and restart
+            # interval in effect at ITS header), decode after EOI
+            multi_scans.append(
+                {
+                    "comps": scan,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "huff": dict(huff),
+                    "restart_interval": restart_interval,
+                    "entropy": entropy,
+                }
+            )
+    if multi_scans:
+        from .jpeg_progressive import decode_scans
+
+        planes = decode_scans(frame, multi_scans)
+        return _reconstruct(frame, planes, qtabs)
     raise ValueError("JPEG truncated: no SOS scan found")
+
+
+def _split_restarts(entropy: bytes) -> list[bytes]:
+    """Split an entropy segment on RST0-7 markers (predictors and EOB
+    runs reset at each boundary)."""
+    segments = []
+    i = 0
+    start = 0
+    while i < len(entropy) - 1:
+        if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
+            segments.append(entropy[start:i])
+            start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(entropy[start:])
+    return segments
+
+
+def _reconstruct(frame, planes: dict, qtabs: dict) -> tuple[int, int, str, np.ndarray]:
+    """Shared decode tail: per-component (n_blocks, 64) int32 zigzag
+    coefficient planes -> dequantize + inverse zigzag + batched IDCT +
+    chroma upsample + color transform."""
+    fh, fw, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mcu_x = -(-fw // (8 * hmax))
+    n_mcu_y = -(-fh // (8 * vmax))
+    out_planes = []
+    for c in comps:
+        q = qtabs[c["tq"]]
+        zz = planes[c["id"]]
+        coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * q
+        spat = np.einsum("ji,njk,kl->nil", DCT_M, coeffs, DCT_M) + 128.0
+        bw_c = n_mcu_x * c["h"]
+        bh_c = n_mcu_y * c["v"]
+        plane = (
+            spat.reshape(bh_c, bw_c, 8, 8).transpose(0, 2, 1, 3).reshape(bh_c * 8, bw_c * 8)
+        )
+        # upsample to full MCU-grid resolution, then crop to frame
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return fw, fh, "jpeg", np.repeat(g[:, :, None], 3, axis=2)
+    px = ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+    return fw, fh, "jpeg", px
 
 
 def _decode_scan(frame, scan, qtabs, huff, restart_interval, entropy: bytes):
@@ -568,20 +661,7 @@ def _decode_scan(frame, scan, qtabs, huff, restart_interval, entropy: bytes):
 
     # restart-interval segments: entropy bytes are split on RSTn
     # markers; DC predictors reset at each boundary.
-    if restart_interval:
-        segments = []
-        i = 0
-        start = 0
-        while i < len(entropy) - 1:
-            if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
-                segments.append(entropy[start:i])
-                start = i + 2
-                i += 2
-            else:
-                i += 1
-        segments.append(entropy[start:])
-    else:
-        segments = [entropy]
+    segments = _split_restarts(entropy) if restart_interval else [entropy]
 
     seg_idx = 0
     br = _BitReader(segments[0].replace(b"\xff\x00", b"\xff"))
@@ -608,31 +688,7 @@ def _decode_scan(frame, scan, qtabs, huff, restart_interval, entropy: bytes):
                         planes[sc["id"]][bi] = zz
             mcu_count += 1
 
-    # dequantize + inverse zigzag + IDCT, batched per component
-    out_planes = []
-    for c in comps:
-        q = qtabs[c["tq"]]
-        zz = planes[c["id"]]
-        coeffs = zz[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * q
-        spat = np.einsum("ji,njk,kl->nil", DCT_M, coeffs, DCT_M) + 128.0
-        bw_c = n_mcu_x * c["h"]
-        bh_c = n_mcu_y * c["v"]
-        plane = (
-            spat.reshape(bh_c, bw_c, 8, 8).transpose(0, 2, 1, 3).reshape(bh_c * 8, bw_c * 8)
-        )
-        # upsample to full MCU-grid resolution, then crop to frame
-        ry = vmax // c["v"]
-        rx = hmax // c["h"]
-        if ry > 1:
-            plane = np.repeat(plane, ry, axis=0)
-        if rx > 1:
-            plane = np.repeat(plane, rx, axis=1)
-        out_planes.append(plane[:fh, :fw])
-    if len(out_planes) == 1:
-        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return fw, fh, "jpeg", np.repeat(g[:, :, None], 3, axis=2)
-    px = ycbcr_to_rgb(np.stack(out_planes, axis=-1))
-    return fw, fh, "jpeg", px
+    return _reconstruct(frame, planes, qtabs)
 
 
 def _decode_block(br: _BitReader, dct: _HuffLookup, act: _HuffLookup) -> np.ndarray:

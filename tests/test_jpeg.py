@@ -176,12 +176,25 @@ def test_dqt_16bit_precision_decodes():
 # ----------------------------------------------------------- error edges
 
 
-def test_progressive_raises():
+def test_sof2_retag_decodes_via_generic_path():
+    """Progressive (SOF2) no longer raises (round 5,
+    functions/jpeg_progressive.py). A baseline stream retagged SOF2 is
+    a spec bend (a progressive DC scan may not span Se=63), but the
+    generic multi-scan path decodes it tolerantly — and identically."""
     px = _noise(16, 16)
+    base = J.decode_jpeg(J.encode_jpeg(px, 100))[3]
     blob = bytearray(J.encode_jpeg(px, 100))
     i = blob.index(b"\xff\xc0")
     blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    assert np.array_equal(J.decode_jpeg(bytes(blob))[3], base)
+
+
+def test_arithmetic_coding_raises():
+    px = _noise(16, 16)
+    blob = bytearray(J.encode_jpeg(px, 100))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC9  # SOF9: arithmetic sequential — out of scope
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode_jpeg(bytes(blob))
 
 
