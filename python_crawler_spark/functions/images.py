@@ -44,16 +44,23 @@ SMALL_IMAGE_MAX_BYTES = 2800  # weixin_public.py:324 boundary, inclusive
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """Encode an (h, w, 3) uint8 array. fmt in {'png','jpeg'}.
-    'png' emits a REAL PNG file (encode_png); 'jpeg' emits a REAL
-    baseline JFIF JPEG (functions/jpeg.py, round 4 — formerly the
-    PCS1 container seam). JPEG_QUALITY=100 keeps the codec's loss to
-    DCT/chroma rounding, holding the PSNR>=40dB input_hint invariant
-    even on random-noise synthetic images (the hardest DCT case)."""
+    """Encode an (h, w, 3) uint8 array. fmt in {'png','jpeg',
+    'jpeg_progressive'}. 'png' emits a REAL PNG file (encode_png);
+    'jpeg' a REAL baseline JFIF JPEG (functions/jpeg.py, round 4);
+    'jpeg_progressive' a REAL SOF2 progressive JPEG
+    (functions/jpeg_progressive.py, round 5 — at the same quality its
+    pixels decode bit-identical to the baseline encoding).
+    JPEG_QUALITY=100 keeps the codec's loss to DCT/chroma rounding,
+    holding the PSNR>=40dB input_hint invariant even on random-noise
+    synthetic images (the hardest DCT case)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("pixels must be (h, w, 3) uint8")
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg_progressive":
+        from . import jpeg_progressive as JPEG_P
+
+        return JPEG_P.encode_jpeg_progressive(pixels, quality=JPEG_QUALITY)
     if fmt != "jpeg":
         raise ValueError(f"unknown fmt {fmt!r}")
     return JPEG.encode_jpeg(pixels, quality=JPEG_QUALITY)

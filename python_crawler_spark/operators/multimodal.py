@@ -31,14 +31,19 @@ TFS_BASE = "http://tfs.example.invalid/"
 def synth_image_pixels(src_url: str) -> tuple[np.ndarray, str]:
     """Deterministic pixels for a synthetic image URL: dimensions and
     content derive from xxhash64(url) only — same pixels at any scale
-    or parallelism. Returns (pixels, fmt) where fmt comes from the
-    URL's wx_fmt param (X3 default 'jpg')."""
+    or parallelism. Returns (pixels, enc_fmt). The synthetic web
+    serves a mix of PNG, baseline JPEG, and progressive JPEG (half of
+    the JPEG share — matching the real web, where large CDN images
+    are routinely progressive), so the e2e crawl exercises every
+    decoder the engine ships."""
     h = xxhash64(src_url) & 0x7FFFFFFFFFFFFFFF
     w = 8 + h % 48
     ht = 8 + (h // 48) % 48
     rng = np.random.RandomState(h % (2**31))
     px = rng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8)
-    return px, ("jpeg" if h % 3 == 0 else "png")
+    if h % 3 == 0:
+        return px, ("jpeg_progressive" if h % 6 == 0 else "jpeg")
+    return px, "png"
 
 
 def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
