@@ -57,6 +57,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         raise ValueError("pixels must be (h, w, 3) uint8")
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "png_interlaced":
+        return encode_png(pixels, interlace=True)
     if fmt == "jpeg_progressive":
         from . import jpeg_progressive as JPEG_P
 
@@ -98,8 +100,8 @@ def decode_image(data: bytes) -> tuple[int, int, str, np.ndarray]:
 # (W3C PNG / RFC 2083). No library, no stub: these bytes interoperate
 # with any PNG tool. Supported on decode: 8-bit depth, color types 0
 # (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), all five scanline
-# filters, non-interlaced (Adam7 raises — the reference's inputs are
-# camera/web photos, virtually never interlaced).
+# filters, and both interlace methods (Adam7 added round 5: seven
+# independently-filtered passes scattered back onto strided grids).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _JPEG_SIG = b"\xff\xd8\xff"
@@ -114,19 +116,52 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 -> real PNG bytes (color type 2, filter 0 on
-    every scanline — valid PNG; simplicity over ratio)."""
+# Adam7 pass origins and strides (PNG spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> real PNG bytes (color type 2).
+    Non-interlaced uses filter 0 on every scanline; interlace=True
+    emits Adam7 passes, each filtered with Up (type 2, predictor reset
+    at every pass start — the spec's each-pass-is-its-own-image rule,
+    which doubles as the decoder's test vector for it)."""
     h, w = pixels.shape[:2]
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+        + bytes([8, 2, 0, 0, int(interlace)])  # depth 8, RGB, deflate, adaptive
     )
-    # filter byte 0 prepended to each scanline
-    lines = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
-    )
-    idat = zlib.compress(lines.tobytes(), 6)
+    if not interlace:
+        # filter byte 0 prepended to each scanline
+        lines = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+        )
+        raw = lines.tobytes()
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty pass emits nothing (spec §8.2)
+            lines = sub.reshape(ph, pw * 3).astype(np.int16)
+            prev = np.vstack([np.zeros((1, pw * 3), dtype=np.int16), lines[:-1]])
+            diff = ((lines - prev) % 256).astype(np.uint8)
+            parts.append(
+                np.concatenate(
+                    [np.full((ph, 1), 2, dtype=np.uint8), diff], axis=1
+                ).tobytes()
+            )
+        raw = b"".join(parts)
+    idat = zlib.compress(raw, 6)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -139,41 +174,17 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
-    """Real PNG bytes -> (w, h, 'png', (h,w,3) uint8). Alpha is
-    dropped (the pipeline's schema is RGB); gray replicates."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, w = 8, None
-    idat = bytearray()
-    h = depth = ctype = interlace = None
-    while pos + 8 <= len(data):
-        ln = int.from_bytes(data[pos : pos + 4], "big")
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # len + type + body + crc (crc not verified: tolerant read)
-        if typ == b"IHDR":
-            w = int.from_bytes(body[0:4], "big")
-            h = int.from_bytes(body[4:8], "big")
-            depth, ctype, interlace = body[8], body[9], body[12]
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-    if w is None or h is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype}")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+def _unfilter(raw, w: int, h: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §6.6) for one image or one
+    Adam7 pass: (h * (1 + w*channels)) filter-prefixed bytes ->
+    (h, w*channels) uint8. The up/left predictors start at zero — per
+    pass, not per file (each pass is its own image)."""
     stride = w * channels
-    raw = raw.reshape(h, stride + 1)
-    filters = raw[:, 0]
-    lines = raw[:, 1:].astype(np.int16)
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int16)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     bpp = channels
@@ -204,7 +215,57 @@ def decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
             raise ValueError(f"bad PNG filter {f} on line {y}")
         out[y] = rec.astype(np.uint8)
         prev = rec.astype(np.int16)
-    px = out.reshape(h, w, channels)
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, str, np.ndarray]:
+    """Real PNG bytes -> (w, h, 'png', (h,w,3) uint8). Alpha is
+    dropped (the pipeline's schema is RGB); gray replicates. Both
+    interlace methods decode (Adam7 added round 5)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w = 8, None
+    idat = bytearray()
+    h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + body + crc (crc not verified: tolerant read)
+        if typ == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None or h is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        px = _unfilter(raw, w, h, channels).reshape(h, w, channels)
+    elif interlace == 1:
+        # Adam7: seven independently-filtered sub-images in one zlib
+        # stream, scattered back onto the (y0::dy, x0::dx) grids
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            n = ph * (1 + pw * channels)
+            sub = _unfilter(raw[off : off + n], pw, ph, channels)
+            off += n
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype == 0:
         px = np.repeat(px, 3, axis=2)
     elif ctype == 4:

@@ -32,10 +32,10 @@ def synth_image_pixels(src_url: str) -> tuple[np.ndarray, str]:
     """Deterministic pixels for a synthetic image URL: dimensions and
     content derive from xxhash64(url) only — same pixels at any scale
     or parallelism. Returns (pixels, enc_fmt). The synthetic web
-    serves a mix of PNG, baseline JPEG, and progressive JPEG (half of
-    the JPEG share — matching the real web, where large CDN images
-    are routinely progressive), so the e2e crawl exercises every
-    decoder the engine ships."""
+    serves a mix of PNG (a fifth Adam7-interlaced), baseline JPEG,
+    and progressive JPEG (half of the JPEG share — matching the real
+    web, where large CDN images are routinely progressive), so the
+    e2e crawl exercises every decoder the engine ships."""
     h = xxhash64(src_url) & 0x7FFFFFFFFFFFFFFF
     w = 8 + h % 48
     ht = 8 + (h // 48) % 48
@@ -43,7 +43,7 @@ def synth_image_pixels(src_url: str) -> tuple[np.ndarray, str]:
     px = rng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8)
     if h % 3 == 0:
         return px, ("jpeg_progressive" if h % 6 == 0 else "jpeg")
-    return px, "png"
+    return px, ("png_interlaced" if h % 5 == 0 else "png")
 
 
 def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:

@@ -174,14 +174,16 @@ def test_image_pixel_invariant_psnr(run_and_oracle):
     results, oracle = run_and_oracle
     rows = results["images"].select("src_url", "bytes", "caption", "dec_fmt").collect()
     assert rows
-    # the synthetic web serves all three wire layouts (PNG, baseline
-    # JPEG, progressive JPEG) — every decoder is exercised end-to-end
-    sigs = {
-        "png" if bytes(r["bytes"])[:4] == b"\x89PNG"
-        else ("jpeg_prog" if b"\xff\xc2" in bytes(r["bytes"]) else "jpeg_base")
-        for r in rows
-    }
-    assert sigs == {"png", "jpeg_base", "jpeg_prog"}
+    # the synthetic web serves all four wire layouts (plain + Adam7
+    # PNG, baseline + progressive JPEG) — every decoder is exercised
+    # end-to-end
+    def _layout(b: bytes) -> str:
+        if b[:4] == b"\x89PNG":
+            return "png_adam7" if b[28] == 1 else "png"  # IHDR interlace byte
+        return "jpeg_prog" if b"\xff\xc2" in b else "jpeg_base"
+
+    sigs = {_layout(bytes(r["bytes"])) for r in rows}
+    assert sigs == {"png", "png_adam7", "jpeg_base", "jpeg_prog"}
     oracle_by_src = {i["src_url"]: i for i in oracle.images}
     for r in rows:
         ref_px, _ = synth_image_pixels(r["src_url"])

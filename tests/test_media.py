@@ -366,15 +366,37 @@ def test_png_color_types_and_errors():
     )
     _, _, _, dec = IMG.decode_png(blob)
     assert np.array_equal(dec, px)
-    # interlaced and 16-bit raise with clear messages
-    ihdr_i = (7).to_bytes(4, "big") + (9).to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
-    blob_i = IMG._PNG_SIG + IMG._chunk(b"IHDR", ihdr_i) + IMG._chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="interlaced"):
+    # unknown interlace method and 16-bit raise with clear messages
+    ihdr_i = (7).to_bytes(4, "big") + (9).to_bytes(4, "big") + bytes([8, 2, 0, 0, 2])
+    blob_i = (
+        IMG._PNG_SIG + IMG._chunk(b"IHDR", ihdr_i)
+        + IMG._chunk(b"IDAT", _z.compress(b"")) + IMG._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
         IMG.decode_png(blob_i)
     ihdr_16 = (7).to_bytes(4, "big") + (9).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
     blob_16 = IMG._PNG_SIG + IMG._chunk(b"IHDR", ihdr_16) + IMG._chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="bit depth"):
         IMG.decode_png(blob_16)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 (round 5): seven independently-filtered passes, predictor
+    reset per pass (the encoder's Up filter on every pass line makes a
+    stale cross-pass predictor corrupt pixels immediately). Sizes below
+    8 px leave some passes EMPTY — the spec says those emit zero bytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (23, 17), (40, 64)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = IMG.encode_png(px, interlace=True)
+        assert blob[8 + 8 + 12] == 1  # IHDR interlace byte
+        dw, dh, fmt, dec = IMG.decode_png(blob)
+        assert (dw, dh, fmt) == (w, h, "png")
+        assert np.array_equal(dec, px), (h, w)
+        # and the pipeline's sniffing dispatcher takes the same bytes
+        assert np.array_equal(IMG.decode_standard(blob)[3], px)
 
 
 def test_jpeg_decodes_and_unknown_signature():
