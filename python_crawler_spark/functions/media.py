@@ -12,9 +12,12 @@ need only numpy + stdlib:
   baseline JPEGs (functions/jpeg.py); video_info/iter_frames demux it
   lazily (frame sampling reads chunk headers, never all frames).
 
-What still needs an external library is exactly the codecs that are
-libraries' jobs: mp4/h264/vp9 video and mp3/aac/flac audio. Those
-raise NotImplementedError with a clear message; the surrounding
+Round 5 adds **FLAC** (functions/flac.py — RFC 9639 frames, Rice
+coding, fixed + LPC predictors, CRC-8/16 + MD5 verified), so the
+lossless audio format decodes natively too. What still needs an
+external library is exactly the codecs that are libraries' jobs:
+mp4/h264/vp9 video and mp3/aac perceptual audio. Those raise
+NotImplementedError with a clear message; the surrounding
 sampling/feature logic is identical when ffmpeg-class decode is
 swapped in.
 
@@ -227,16 +230,25 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
         return rate, np.frombuffer(data[8:], dtype=np.int16)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from . import flac as FLAC
+
+        rate, pcm = FLAC.decode_flac(data)
+        if pcm.ndim == 2:  # downmix like decode_wav (feature math is mono)
+            x = pcm.astype(np.float64).mean(axis=1)
+            pcm = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+        return rate, pcm
     return decode_audio_standard(data)
 
 
 def decode_audio_standard(data: bytes):
-    """Library seam for perceptual audio codecs: mp3/aac/flac decode
-    is a codec library's job. WAV is REAL here (decode_wav); swap
+    """Library seam for PERCEPTUAL audio codecs: mp3/aac decode is a
+    codec library's job (psychoacoustic filterbanks). WAV and FLAC are
+    REAL here (decode_wav, functions/flac.py — round 5); swap
     soundfile/ffmpeg in for the rest — the feature math below runs
     unchanged on the decoded PCM."""
     raise NotImplementedError(
-        "mp3/aac/flac require an audio codec library; WAV and the "
+        "mp3/aac require an audio codec library; WAV, FLAC and the "
         "deterministic PCSA container decode natively"
     )
 

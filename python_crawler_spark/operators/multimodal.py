@@ -177,8 +177,8 @@ def extract_audio_features(
     audio: DataFrame, audio_col: str = "audio_bytes"
 ) -> DataFrame:
     """Audio feature stage: real PCM math (duration/RMS/zero-cross/
-    peak) per row over PCSA or real WAV bytes (per-blob dispatch);
-    mp3/aac stay the library seam
+    peak) per row over PCSA, real WAV, or real FLAC bytes (per-blob
+    dispatch); perceptual mp3/aac stay the library seam
     (functions/media.decode_audio_standard)."""
     from ..functions import media as MED
 
