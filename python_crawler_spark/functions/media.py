@@ -69,6 +69,11 @@ def video_info(data: bytes) -> tuple[int, int]:
         frames = GIF.decode_gif_frames(data)
         delay = next((d for _, d in frames if d), 0)
         return len(frames), (round(100 / delay) if delay else 0)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from . import mp4 as MP4
+
+        n, fps, _codec = MP4.mp4_info(data)
+        return n, fps
     return decode_video_standard(data)
 
 
@@ -87,6 +92,12 @@ def iter_frames(data: bytes):
         for i, (px, _delay) in enumerate(GIF.decode_gif_frames(data)):
             yield i, IMG.encode_png(np.ascontiguousarray(px))
         return
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from . import mp4 as MP4
+
+        MP4.mp4_frame_decodable(data)  # container demuxes; codec gates
+        yield from MP4.mp4_iter_samples(data)
+        return
     if data[:4] != MAGIC_V:
         decode_video_standard(data)
     n = int.from_bytes(data[4:8], "big")
@@ -99,13 +110,16 @@ def iter_frames(data: bytes):
 
 
 def decode_video_standard(data: bytes):
-    """Library seam for inter-frame codecs: mp4/h264/webm/vp9 demux +
-    decode is ffmpeg-class work. AVI/MJPEG is REAL here (see
-    encode_avi_mjpeg / _avi_iter_frames); swap pyav/ffmpeg in for the
-    rest — sampling logic and schemas are identical."""
+    """Library seam for inter-frame CODECS: h264/hevc/vp9 bitstream
+    decode is ffmpeg-class work. The containers are REAL here —
+    AVI/MJPEG (encode_avi_mjpeg / _avi_iter_frames) and MP4/ISO BMFF
+    (functions/mp4.py, round 5: full stsc/stco/co64 demux, 'jpeg'
+    tracks decode end-to-end); swap pyav/ffmpeg in for the codec
+    half — sampling logic and schemas are identical."""
     raise NotImplementedError(
-        "mp4/webm video requires ffmpeg-class decode; AVI/MJPEG and the "
-        "deterministic PCSV container decode natively"
+        "webm video and h264/hevc/vp9 bitstreams require ffmpeg-class "
+        "decode; MP4 (motion-JPEG), AVI/MJPEG and the deterministic "
+        "PCSV container decode natively"
     )
 
 

@@ -74,10 +74,11 @@ def test_audio_features_math():
 
 def test_standard_codec_seams_raise():
     """The remaining library seams are exactly the perceptual codecs:
-    mp4/webm video and mp3/aac audio. WAV and AVI/MJPEG are real now
-    (tests below)."""
-    with pytest.raises(NotImplementedError, match="mp4"):
-        MED.video_info(b"\x00\x00\x00\x18ftypmp42....")
+    webm/h264-class video bitstreams and mp3/aac audio. WAV, FLAC,
+    AVI/MJPEG and MP4/MJPEG are real now (tests below + test_flac.py
+    + test_mp4.py)."""
+    with pytest.raises(NotImplementedError, match="webm"):
+        MED.video_info(b"\x1aE\xdf\xa3" + b"\x00" * 16)  # EBML magic
     with pytest.raises(NotImplementedError, match="mp3"):
         MED.decode_audio(b"ID3\x04....")
 
