@@ -12,14 +12,17 @@ need only numpy + stdlib:
   baseline JPEGs (functions/jpeg.py); video_info/iter_frames demux it
   lazily (frame sampling reads chunk headers, never all frames).
 
-Round 5 adds **FLAC** (functions/flac.py — RFC 9639 frames, Rice
-coding, fixed + LPC predictors, CRC-8/16 + MD5 verified), so the
-lossless audio format decodes natively too. What still needs an
-external library is exactly the codecs that are libraries' jobs:
-mp4/h264/vp9 video and mp3/aac perceptual audio. Those raise
-NotImplementedError with a clear message; the surrounding
-sampling/feature logic is identical when ffmpeg-class decode is
-swapped in.
+Round 5 closes the container story entirely: **FLAC**
+(functions/flac.py — RFC 9639 frames, Rice coding, fixed + LPC
+predictors, CRC-8/16 + MD5 verified), **MP4/ISO BMFF**
+(functions/mp4.py — full stsc/stco/co64 demux, motion-JPEG tracks
+decode end-to-end), and **Matroska/webm** (functions/matroska.py —
+EBML walker, SimpleBlock/BlockGroup, all lacing modes, V_MJPEG
+decodes). What still needs an external library is exactly the
+PERCEPTUAL bitstreams: h264/hevc/vp8/vp9/av1 video and mp3/aac
+audio. Those raise NotImplementedError with a clear message; the
+surrounding sampling/feature logic is identical when ffmpeg-class
+decode is swapped in.
 
 The deterministic containers remain as cheap test fixtures:
 
@@ -74,6 +77,11 @@ def video_info(data: bytes) -> tuple[int, int]:
 
         n, fps, _codec = MP4.mp4_info(data)
         return n, fps
+    if data[:4] == b"\x1aE\xdf\xa3":
+        from . import matroska as MKV
+
+        n, fps, _codec = MKV.mkv_info(data)
+        return n, fps
     return decode_video_standard(data)
 
 
@@ -98,6 +106,12 @@ def iter_frames(data: bytes):
         MP4.mp4_frame_decodable(data)  # container demuxes; codec gates
         yield from MP4.mp4_iter_samples(data)
         return
+    if data[:4] == b"\x1aE\xdf\xa3":
+        from . import matroska as MKV
+
+        MKV.mkv_frame_decodable(data)  # container demuxes; codec gates
+        yield from MKV.mkv_iter_frames(data)
+        return
     if data[:4] != MAGIC_V:
         decode_video_standard(data)
     n = int.from_bytes(data[4:8], "big")
@@ -110,16 +124,17 @@ def iter_frames(data: bytes):
 
 
 def decode_video_standard(data: bytes):
-    """Library seam for inter-frame CODECS: h264/hevc/vp9 bitstream
-    decode is ffmpeg-class work. The containers are REAL here —
-    AVI/MJPEG (encode_avi_mjpeg / _avi_iter_frames) and MP4/ISO BMFF
-    (functions/mp4.py, round 5: full stsc/stco/co64 demux, 'jpeg'
-    tracks decode end-to-end); swap pyav/ffmpeg in for the codec
-    half — sampling logic and schemas are identical."""
+    """Library seam for inter-frame CODECS: h264/hevc/vp8/vp9/av1
+    bitstream decode is ffmpeg-class work. The CONTAINERS are all REAL
+    here — AVI/RIFF (encode_avi_mjpeg / _avi_iter_frames), MP4/ISO
+    BMFF (functions/mp4.py), Matroska/webm (functions/matroska.py) —
+    with motion-JPEG tracks decoding end-to-end in each; swap
+    pyav/ffmpeg in for the codec half — sampling logic and schemas
+    are identical."""
     raise NotImplementedError(
-        "webm video and h264/hevc/vp9 bitstreams require ffmpeg-class "
-        "decode; MP4 (motion-JPEG), AVI/MJPEG and the deterministic "
-        "PCSV container decode natively"
+        "unrecognized video container (MP4, Matroska/webm, AVI, GIF and "
+        "PCSV demux natively; h264/hevc/vp9-class bitstreams inside them "
+        "require ffmpeg-class decode)"
     )
 
 

@@ -77,8 +77,8 @@ def test_standard_codec_seams_raise():
     webm/h264-class video bitstreams and mp3/aac audio. WAV, FLAC,
     AVI/MJPEG and MP4/MJPEG are real now (tests below + test_flac.py
     + test_mp4.py)."""
-    with pytest.raises(NotImplementedError, match="webm"):
-        MED.video_info(b"\x1aE\xdf\xa3" + b"\x00" * 16)  # EBML magic
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        MED.video_info(b"FLV\x01" + b"\x00" * 16)  # container we lack
     with pytest.raises(NotImplementedError, match="mp3"):
         MED.decode_audio(b"ID3\x04....")
 

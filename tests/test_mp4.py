@@ -144,6 +144,6 @@ def test_iter_frames_mp4_avc1_raises():
         next(MED.iter_frames(bytes(blob)))
 
 
-def test_webm_still_raises():
-    with pytest.raises(NotImplementedError, match="webm"):
-        MED.video_info(b"\x1aE\xdf\xa3" + b"\x00" * 32)  # EBML magic
+def test_unknown_container_still_raises():
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        MED.video_info(b"FLV\x01" + b"\x00" * 32)
