@@ -271,13 +271,15 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def decode_audio_standard(data: bytes):
-    """Library seam for PERCEPTUAL audio codecs: mp3/aac decode is a
-    codec library's job (psychoacoustic filterbanks). WAV and FLAC are
-    REAL here (decode_wav, functions/flac.py — round 5); swap
-    soundfile/ffmpeg in for the rest — the feature math below runs
-    unchanged on the decoded PCM."""
+    """Library seam for PERCEPTUAL audio codecs: mp3/aac PCM decode is
+    a codec library's job (psychoacoustic filterbanks). WAV (incl. IMA
+    ADPCM) and FLAC are REAL here (decode_wav, functions/flac.py), and
+    mp3 FRAMING (duration/bitrate/rate metadata) parses natively via
+    functions/mp3.py — swap soundfile/ffmpeg in for the PCM half; the
+    feature math below runs unchanged on the decoded samples."""
     raise NotImplementedError(
-        "mp3/aac require an audio codec library; WAV, FLAC and the "
+        "mp3/aac PCM decode requires an audio codec library (mp3 framing "
+        "metadata parses via functions/mp3.mp3_info); WAV, FLAC and the "
         "deterministic PCSA container decode natively"
     )
 
@@ -316,7 +318,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         body = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)
         if cid == b"fmt ":
-            fmt_code, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt_code, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16])
             if fmt_code == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
                 fmt_code = struct.unpack("<H", body[24:26])[0]
         elif cid == b"data":
@@ -329,13 +332,123 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) * 256.0
     elif fmt_code == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(pcm, dtype="<f4").astype(np.float64) * 32767.0
+    elif fmt_code == 0x11:  # IMA ADPCM (public IMA/DVI spec)
+        x = _ima_adpcm_decode(pcm, channels or 1, block_align).astype(np.float64)
     else:
         raise NotImplementedError(
-            f"WAV format code {fmt_code}/{bits}-bit (PCM 8/16 and float32 only)"
+            f"WAV format code {fmt_code}/{bits}-bit "
+            "(PCM 8/16, float32 and IMA ADPCM only)"
         )
     if channels and channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return rate, np.clip(np.round(x), -32768, 32767).astype(np.int16)
+
+
+# ------------------------------------------------------ IMA ADPCM (WAV)
+# Public IMA/DVI ADPCM tables (the 4-bit lossy PCM compression WAV
+# format code 0x11 uses). Per-block: a 4-byte header per channel
+# (int16 predictor, step index, reserved) then nibble pairs, channels
+# interleaved in 4-byte groups.
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+
+
+def _ima_step_one(pred: int, index: int, nib: int) -> tuple[int, int]:
+    step = int(_IMA_STEP[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nib])))
+    return pred, index
+
+
+def _ima_adpcm_decode(pcm: bytes, channels: int, block_align: int) -> np.ndarray:
+    """ADPCM data chunk -> channel-interleaved int-valued samples."""
+    if block_align < 4 * channels:
+        raise ValueError("WAV/ADPCM: block_align smaller than headers")
+    out = []
+    for b0 in range(0, len(pcm) - block_align + 1, block_align):
+        block = pcm[b0 : b0 + block_align]
+        preds, idxs, chans = [], [], []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hBx", block, 4 * c)
+            if i > 88:
+                raise ValueError("WAV/ADPCM: step index out of range")
+            preds.append(p), idxs.append(i), chans.append([p])
+        dpos = 4 * channels
+        while dpos + 4 * channels <= len(block):
+            for c in range(channels):  # 4-byte (8-nibble) group per channel
+                for byte in block[dpos + 4 * c : dpos + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_step_one(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+            dpos += 4 * channels
+        n = min(len(ch) for ch in chans)
+        out.append(np.stack([np.array(ch[:n]) for ch in chans], axis=1))
+    if not out:
+        raise ValueError("WAV/ADPCM: no complete block")
+    return np.concatenate(out, axis=0).reshape(-1)
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, rate: int = 16000,
+                         samples_per_block: int = 505) -> bytes:
+    """int16 mono PCM -> WAV with IMA ADPCM (format 0x11) — exercises
+    the compressed-WAV decode path with a real, conformant producer."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("mono int16 only")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    block_align = 4 + (samples_per_block - 1) // 2
+    body = bytearray()
+    index = 0
+    for b0 in range(0, len(samples), samples_per_block):
+        chunk = samples[b0 : b0 + samples_per_block]
+        pred = int(chunk[0])
+        body += struct.pack("<hBx", pred, index)
+        nibbles = []
+        for s in chunk[1:]:
+            # pick the nibble whose decoded step lands nearest target
+            step = int(_IMA_STEP[index])
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            mask = 4
+            d = step >> 3
+            while mask:
+                if diff >= step:
+                    nib |= mask
+                    diff -= step
+                    d += step
+                step >>= 1
+                mask >>= 1
+            pred, index = _ima_step_one(pred, index, nib)
+            nibbles.append(nib)
+        nibbles += [0] * (-len(nibbles) % 8)  # pad final block
+        for i in range(0, len(nibbles), 2):
+            body += bytes([nibbles[i] | (nibbles[i + 1] << 4)])
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate,
+                      rate * block_align // samples_per_block,
+                      block_align, 4)
+    fmt += struct.pack("<HH", 2, samples_per_block)  # cbSize + extra
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    if len(body) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def audio_features(data: bytes) -> dict:

