@@ -15,6 +15,11 @@ functions/mp4.py and functions/matroska.py on the video side.
   frame count, sample rate, duration, and the average bitrate
   (correct for VBR streams because it is measured, not declared).
   MPEG-1/2/2.5, Layers I/II/III.
+- **aac_adts_info**: the same walk over AAC ADTS framing (ISO/IEC
+  13818-7 §6.2 fixed+variable header: 0xFFF sync, profile, sampling
+  index, 13-bit frame length, raw-block count, optional CRC) —
+  frame/sample counts and duration without touching the spectral
+  payload.
 """
 
 from __future__ import annotations
@@ -121,4 +126,50 @@ def mp3_info(data: bytes) -> dict:
         "avg_bitrate_kbps": bits / n,
         "version": version,
         "layer": layer,
+    }
+
+
+# ------------------------------------------------------------- AAC ADTS
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def aac_adts_info(data: bytes) -> dict:
+    """Walk every ADTS frame header: {n_frames, n_samples, sample_rate,
+    duration_s, profile, channels}. Fail-loud on desync."""
+    pos = _id3v2_size(data)
+    if pos + 7 > len(data):
+        raise ValueError("ADTS: stream too short")
+    n = samples = 0
+    rate = profile = channels = None
+    while pos + 7 <= len(data):
+        h = data[pos : pos + 7]
+        if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:  # sync + layer 00
+            raise ValueError(f"ADTS: lost frame sync at byte {pos}")
+        prof = (h[2] >> 6) + 1
+        ridx = (h[2] >> 2) & 0xF
+        if ridx >= len(_ADTS_RATES):
+            raise ValueError(f"ADTS: reserved sampling index {ridx}")
+        ch = ((h[2] & 1) << 2) | (h[3] >> 6)
+        flen = ((h[3] & 0x03) << 11) | (h[4] << 3) | (h[5] >> 5)
+        raw_blocks = (h[6] & 0x03) + 1
+        min_len = 7 if (h[1] & 1) else 9  # protection_absent ? 7 : +CRC
+        if flen < min_len:
+            raise ValueError("ADTS: degenerate frame length")
+        if rate is None:
+            rate, profile, channels = _ADTS_RATES[ridx], prof, ch
+        elif _ADTS_RATES[ridx] != rate:
+            raise ValueError("ADTS: sample rate changes mid-stream")
+        n += 1
+        samples += 1024 * raw_blocks
+        pos += flen
+    if n == 0 or pos != len(data):
+        raise ValueError("ADTS: truncated final frame")
+    return {
+        "n_frames": n,
+        "n_samples": samples,
+        "sample_rate": rate,
+        "duration_s": samples / rate,
+        "profile": profile,
+        "channels": channels,
     }

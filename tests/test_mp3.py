@@ -76,3 +76,44 @@ def test_free_format_fails_loud():
 def test_no_sync_fails_loud():
     with pytest.raises(ValueError, match="no frame sync"):
         MP3.mp3_info(b"\x00" * 1000)
+
+
+# ---------------------------------------------------------- AAC ADTS
+
+
+def _adts_frame(payload=100, ridx=8, profile=1, ch=2, raw_blocks=1, crc=False):
+    hdr_len = 9 if crc else 7
+    flen = hdr_len + payload
+    h = bytearray(hdr_len)
+    h[0] = 0xFF
+    h[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+    h[2] = ((profile - 1) << 6) | (ridx << 2) | ((ch >> 2) & 1)
+    h[3] = ((ch & 3) << 6) | ((flen >> 11) & 3)
+    h[4] = (flen >> 3) & 0xFF
+    h[5] = ((flen & 7) << 5) | 0x1F
+    h[6] = 0xFC | (raw_blocks - 1)
+    return bytes(h) + b"\xCC" * payload
+
+
+def test_adts_walk():
+    data = _adts_frame() * 43
+    info = MP3.aac_adts_info(data)
+    assert info["n_frames"] == 43
+    assert info["sample_rate"] == 16000
+    assert info["n_samples"] == 43 * 1024
+    assert info["duration_s"] == pytest.approx(43 * 1024 / 16000)
+    assert (info["profile"], info["channels"]) == (1, 2)
+
+
+def test_adts_with_crc_and_multi_raw_blocks():
+    data = _adts_frame(crc=True) * 3 + _adts_frame(raw_blocks=2) * 2
+    info = MP3.aac_adts_info(data)
+    assert info["n_frames"] == 5
+    assert info["n_samples"] == 3 * 1024 + 2 * 2048
+
+
+def test_adts_desync_fails_loud():
+    with pytest.raises(ValueError, match="lost frame sync"):
+        MP3.aac_adts_info(_adts_frame() + b"\x00" * 50)
+    with pytest.raises(ValueError, match="truncated"):
+        MP3.aac_adts_info(_adts_frame()[:-3])
