@@ -179,6 +179,9 @@ def _video_track(data: bytes) -> tuple[int, int]:
 def _parse_stbl(data: bytes, trak_b: int, trak_e: int):
     stbl_b, stbl_e = _find(data, trak_b, trak_e, b"mdia", b"minf", b"stbl")
     boxes = {f: (b, e) for f, b, e in _iter_boxes(data, stbl_b, stbl_e)}
+    for need in (b"stsd", b"stts", b"stsz", b"stsc"):
+        if need not in boxes:
+            raise ValueError(f"MP4: missing {need.decode()} box")
 
     sb, _ = boxes[b"stsd"]
     codec = data[sb + 12 : sb + 16]  # first sample entry's fourcc

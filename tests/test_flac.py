@@ -228,3 +228,21 @@ def test_flac_stereo_downmix_through_media():
 def test_perceptual_codecs_still_raise():
     with pytest.raises(NotImplementedError, match="mp3/aac"):
         MED.decode_audio(b"ID3\x04" + b"\x00" * 16)
+
+
+def test_frame_region_byte_flips_always_raise():
+    """Every byte of the frame region is covered by CRC-8/CRC-16 (a
+    single-byte flip is a burst <= 8 bits, always detected) or by the
+    MD5 over the decoded samples — corruption can never decode
+    silently wrong."""
+    pcm = _sine(9000)
+    blob = FLAC.encode_flac(pcm, 16_000)
+    frames_start = 8 + 34  # magic + header + STREAMINFO
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        i = int(rng.integers(frames_start, len(blob)))
+        delta = int(rng.integers(1, 256))
+        bad = bytearray(blob)
+        bad[i] ^= delta
+        with pytest.raises(ValueError):
+            FLAC.decode_flac(bytes(bad))

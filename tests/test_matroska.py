@@ -169,3 +169,20 @@ def test_video_info_and_iter_frames_dispatch_mkv():
 def test_unknown_container_still_raises():
     with pytest.raises(NotImplementedError, match="unrecognized"):
         MED.video_info(b"FLV\x01" + b"\x00" * 32)
+
+
+def test_corruption_never_crashes_unstructured():
+    """Same crash-safety contract as the MP4 fuzz: random single-byte
+    corruption either demuxes or raises a structured error."""
+    blob = MKV.encode_mkv_mjpeg(_frames(5), fps=25, quality=90)
+    rng = np.random.default_rng(17)
+    for _ in range(60):
+        i = int(rng.integers(0, len(blob)))
+        bad = bytearray(blob)
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            MKV.mkv_info(bytes(bad))
+            for _idx, _f in MKV.mkv_iter_frames(bytes(bad)):
+                pass
+        except (ValueError, NotImplementedError):
+            pass

@@ -147,3 +147,23 @@ def test_iter_frames_mp4_avc1_raises():
 def test_unknown_container_still_raises():
     with pytest.raises(NotImplementedError, match="unrecognized"):
         MED.video_info(b"FLV\x01" + b"\x00" * 32)
+
+
+def test_corruption_never_crashes_unstructured():
+    """Crash-safety contract (same discipline as the tolerant-parser
+    fuzz): random single-byte corruption anywhere in the file either
+    demuxes (flip hit an inert field / sample payload — JPEG decode
+    has its own checks) or raises a STRUCTURED error, never an
+    IndexError/struct.error/hang."""
+    blob = MP4.encode_mp4_mjpeg(_frames(5), fps=25, quality=90)
+    rng = np.random.default_rng(13)
+    for _ in range(60):
+        i = int(rng.integers(0, len(blob)))
+        bad = bytearray(blob)
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            n, fps, codec = MP4.mp4_info(bytes(bad))
+            for _idx, _s in MP4.mp4_iter_samples(bytes(bad)):
+                pass
+        except (ValueError, NotImplementedError):
+            pass
