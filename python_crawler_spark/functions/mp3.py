@@ -108,11 +108,18 @@ def mp3_info(data: bytes) -> dict:
         v, vg, ly, kbps, r, pad = parsed
         if (v, ly) != (version, layer):
             raise ValueError("MP3: version/layer changes mid-stream")
+        if r != rate:
+            # duration math assumes one clock for the whole stream
+            raise ValueError("MP3: sample rate changes mid-stream")
         if kbps == 0:
             raise ValueError("MP3: free-format bitrate not supported")
         flen = _frame_len(vg, ly, kbps, r, pad)
         if flen <= 4:
             raise ValueError("MP3: degenerate frame length")
+        if pos + flen > len(data):
+            # mirror the ADTS walk: a header whose declared payload
+            # runs past EOF is a truncated frame, not a counted one
+            raise ValueError("MP3: truncated final frame")
         bits += kbps
         n += 1
         pos += flen

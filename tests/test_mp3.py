@@ -78,6 +78,18 @@ def test_no_sync_fails_loud():
         MP3.mp3_info(b"\x00" * 1000)
 
 
+def test_truncated_final_frame_fails_loud():
+    # same contract as the ADTS walk: a header whose declared payload
+    # runs past EOF is an error, never a counted frame
+    with pytest.raises(ValueError, match="truncated final frame"):
+        MP3.mp3_info(_frame() * 5 + _frame()[:-20])
+
+
+def test_rate_change_mid_stream_fails_loud():
+    with pytest.raises(ValueError, match="sample rate changes"):
+        MP3.mp3_info(_frame(rate_idx=0) * 3 + _frame(rate_idx=1) * 3)
+
+
 # ---------------------------------------------------------- AAC ADTS
 
 
