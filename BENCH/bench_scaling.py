@@ -135,7 +135,8 @@ def main() -> None:
         gc_med = statistics.median(r.get("gc_secs", [0.0]))
         res[cores] = {"median_sec": dt, "times": r["times"],
                       "urls_per_sec": n / dt, "scheduled": r["scheduled"],
-                      "gc_secs": r.get("gc_secs", []), "gc_median": gc_med}
+                      "gc_secs": r.get("gc_secs", []), "gc_median": gc_med,
+                      "cpu_secs": r.get("cpu_secs", [])}
         print(f"local[{cores}]: median {dt:.1f}s -> {n/dt:,.0f} urls/s  "
               f"(gc median {gc_med:.1f}s = {100*gc_med/dt:.0f}% of wall; "
               f"runs: {[f'{t:.1f}' for t in r['times']]}; "
@@ -183,10 +184,15 @@ global rank/prefix-sum priority schedule + salted per-host politeness
 windows. Input: {n:,} URLs, ~10% duplicates, hot-host skew (50% of
 URLs on one host).
 
-| parallelism | median sec | URLs/s | GC s (median, % wall) | runs (s) |
-|---|---|---|---|---|
-| local[{lo}]  (N)  | {res[lo]['median_sec']:.1f} | {res[lo]['urls_per_sec']:,.0f} | {res[lo]['gc_median']:.1f} ({100*res[lo]['gc_median']/res[lo]['median_sec']:.0f}%) | {', '.join(f"{t:.1f}" for t in res[lo]['times'])} |
-| local[{hi}] ({ratio:.0f}N) | {res[hi]['median_sec']:.1f} | {res[hi]['urls_per_sec']:,.0f} | {res[hi]['gc_median']:.1f} ({100*res[hi]['gc_median']/res[hi]['median_sec']:.0f}%) | {', '.join(f"{t:.1f}" for t in res[hi]['times'])} |
+| parallelism | median sec | URLs/s | GC s (median, % wall) | runs (s) | JVM CPU s per rep |
+|---|---|---|---|---|---|
+| local[{lo}]  (N)  | {res[lo]['median_sec']:.1f} | {res[lo]['urls_per_sec']:,.0f} | {res[lo]['gc_median']:.1f} ({100*res[lo]['gc_median']/res[lo]['median_sec']:.0f}%) | {', '.join(f"{t:.1f}" for t in res[lo]['times'])} | {', '.join(f"{c:.0f}" for c in res[lo]['cpu_secs'])} |
+| local[{hi}] ({ratio:.0f}N) | {res[hi]['median_sec']:.1f} | {res[hi]['urls_per_sec']:,.0f} | {res[hi]['gc_median']:.1f} ({100*res[hi]['gc_median']/res[hi]['median_sec']:.0f}%) | {', '.join(f"{t:.1f}" for t in res[hi]['times'])} | {', '.join(f"{c:.0f}" for c in res[hi]['cpu_secs'])} |
+
+The CPU column attributes noise: a slow rep whose JVM CPU-seconds rise
+in proportion to its wall (at flat CPU/wall occupancy) lost its cores
+to another guest tenant / SMT sibling — the job did not get slower —
+and the median is robust to such reps.
 
 **Scaling efficiency (N -> {ratio:.0f}N): {eff:.2f}** (target >= 0.8)
 
