@@ -208,6 +208,7 @@ def global_rank_and_cumsum(
     rank_name: str = "seq",
     cumsum_name: str = "virtual_ts",
     handle: CheckpointHandle | None = None,
+    bounds_sample: float | None = 0.05,
 ) -> DataFrame:
     """Distributed total-order rank + exclusive prefix sum.
 
@@ -253,8 +254,22 @@ def global_rank_and_cumsum(
         )
     key = order_cols[0]
     qs = [i / n_range_partitions for i in range(1, n_range_partitions)]
+    # The bounds job only steers BALANCE, never correctness (any bound
+    # set yields exact ranks — ties at a cut point share a bucket and
+    # the offsets join is exact), so it reads a fixed-seed sample
+    # instead of the full input — the same idea as
+    # repartitionByRange's reservoir sampler, but one job instead of
+    # one per exchange. At 10^10 frontier rows the difference is a
+    # full extra scan vs a ~5% one. A group too small to surface in
+    # the sample simply lands in one bucket (bucket 0), which is the
+    # right plan for a small group anyway.
+    bsrc = (
+        df.sample(fraction=bounds_sample, seed=42)
+        if bounds_sample is not None and bounds_sample < 1.0
+        else df
+    )
     brows = (
-        df.groupBy(*part)
+        bsrc.groupBy(*part)
         .agg(F.percentile_approx(key, qs, 10_000).alias("_b"))
         .collect()
     )
