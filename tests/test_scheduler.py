@@ -279,6 +279,59 @@ def test_schedule_equals_single_partition_reference(spark):
     assert bad.count() == 0
 
 
+def test_rank_invariant_to_degenerate_bounds_sample(spark):
+    """The bounds job reads a fixed-seed SAMPLE (round 5): the cut
+    points steer bucket balance only, so ranks must be identical for
+    any bound set — including the degenerate one where a group never
+    surfaces in the sample and every one of its rows falls to bucket 0.
+    Force that path with a vanishingly small fraction and compare
+    row-for-row against the full-input bounds."""
+    from python_crawler_spark.operators.scheduler import (
+        global_rank_and_cumsum,
+        packed_priority_col,
+    )
+
+    rows = [
+        (
+            f"http://h{i}.example.com/n/{j}",
+            src,
+            j,
+            2,
+            0,
+            j % 7,
+            0,
+            float(j % 3),
+            f"h{i}.example.com",
+        )
+        for i, src in enumerate(["weixin", "chuansongmen", "tianyan"])
+        for j in range(150)
+    ]
+    f = (
+        with_priority(spark.createDataFrame(rows, FRONTIER_DDL))
+        .withColumn("_prio", packed_priority_col())
+        .repartition(5, "url")
+    )
+
+    def run(fraction):
+        return {
+            r["url"]: (r["seq"], r["virtual_ts"])
+            for r in global_rank_and_cumsum(
+                f,
+                ["_prio"],
+                "crawl_delay",
+                partition_col="source_rank",
+                n_range_partitions=8,
+                bounds_sample=fraction,
+            )
+            .select("url", "seq", "virtual_ts")
+            .collect()
+        }
+
+    full = run(None)  # exact bounds from the whole input
+    empty = run(1e-12)  # sample almost surely empty -> bucket 0 path
+    assert full == empty
+
+
 def test_schedule_no_persistent_rdd_growth(spark):
     """round-2 verdict #2 lineage: schedule() once persist()ed (leak),
     then localCheckpointed + freed by handle (rounds 3-4). Since round
