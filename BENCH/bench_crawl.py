@@ -116,12 +116,27 @@ def main() -> None:
         parallelism=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_EFF_CPUS", "16")),
     )
-    out = {"scales": []}
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    out = {"scales": [], "reps": reps}
     for s in (scale / 2, scale):
         for family in ("dialect", "tolerant"):
-            r = timed_crawl(spark, family, s)
-            print(json.dumps(r), file=sys.stderr, flush=True)
-            out["scales"].append(r)
+            # median-of-reps by wall: a shared-silicon guest shows
+            # ±25% rep-to-rep spread, and a single contended rep must
+            # not define the committed artifact. The kept entry is the
+            # median rep's full per-round detail; every rep's wall is
+            # recorded beside it.
+            runs = []
+            for _ in range(reps):
+                r = timed_crawl(spark, family, s)
+                print(json.dumps(r), file=sys.stderr, flush=True)
+                runs.append(r)
+            runs.sort(key=lambda r: r["wall_s"])
+            # lower median: for an even rep count the upper median would
+            # keep the slower (possibly contended) of the middle pair —
+            # the exact rep this loop exists to not commit
+            med = runs[(len(runs) - 1) // 2]
+            med["wall_s_reps"] = [r["wall_s"] for r in runs]
+            out["scales"].append(med)
     # linearity check: wall(scale) / wall(scale/2) per family — ~2x is
     # linear in world size; >>2x flags a super-linear per-round stage
     for family in ("dialect", "tolerant"):

@@ -1837,6 +1837,196 @@ GROUP BY t.doc_id
 """
 
 
+# A fixed 8-word sentinel phrase models verbatim benchmark text leaking
+# into the training corpus (the testdata word-soup has essentially no
+# natural 8-gram collisions). Appended deterministically on BOTH engines:
+# to every "benchmark" doc (doc_id % 97 == 0) and to the "leaked" train
+# docs (doc_id % 31 == 0), so the overlap join has guaranteed positive
+# signal without external data.
+_DECON_SENTINEL = " alpha beta gamma delta epsilon zeta eta theta"
+_DECON_WIN = 8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    8-word shingle with a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval set) — the n-gram-overlap
+    decontamination step every LLM data pipeline runs before training
+    (GPT-3 App. C / PaLM-style 8-gram collision rule).
+
+    Scale: the benchmark side is SMALL BY CONSTRUCTION (eval suites
+    are thousands of docs, not billions), so its distinct shingle set
+    is legitimately force-broadcast — this is the one place in the
+    repo where a broadcast hint on an aggregate is scale-correct, in
+    deliberate contrast to unigram_logprob's unbounded vocab. The
+    training side only explodes shingles (linear in corpus tokens) and
+    LEFT-joins the broadcast set: no shuffle of the 100-TB side at
+    all, and docs with zero hits survive with n_hits = 0. Shingling is
+    pure JVM higher-order functions (transform/slice), no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 31 == 0),
+            F.lit(_DECON_SENTINEL),
+        ).otherwise(F.lit("")),
+    )
+    # sequence(1, n-7) DESCENDS when n < 8 (same ANSI edge gopher hit),
+    # so short docs are excluded identically on both engines; testdata
+    # docs all have >= 8 words, so nothing is dropped in practice.
+    base = docs.select("doc_id", text2.alias("t")).filter(
+        F.size(F.split("t", " ")) >= _DECON_WIN
+    )
+    shingles = F.expr(
+        f"transform(sequence(1, size(split(t, ' ')) - {_DECON_WIN - 1}),"
+        f"          i -> concat_ws(' ', slice(split(t, ' '), i, {_DECON_WIN})))"
+    )
+    bench_sh = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingles).alias("sh"))
+        .distinct()
+    )
+    train = base.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train.select("doc_id", F.explode(shingles).alias("sh"))
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH d2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+              THEN text || ' {_DECON_SENTINEL.lstrip()}' ELSE text END AS t
+  FROM documents
+  WHERE len(string_split(CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+                              THEN text || ' {_DECON_SENTINEL.lstrip()}'
+                              ELSE text END, ' ')) >= {_DECON_WIN}
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split(t, ' ')) - {_DECON_WIN - 2}),
+           i -> array_to_string(list_slice(string_split(t, ' '), i, i + {_DECON_WIN - 1}), ' ')
+         )) AS sh
+  FROM d2
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bench b ON s.sh = b.sh
+  WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id
+)
+SELECT d2.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM d2 LEFT JOIN hits h ON d2.doc_id = h.doc_id
+WHERE d2.doc_id % 97 <> 0
+"""
+
+
+# A fixed 10-word boilerplate chunk models the site template text that
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better") exists to strip; prepended on both
+# engines to docs with doc_id % 7 == 0.
+_CHUNK_BOILER = "subscribe to our newsletter for the latest table scan news "
+_CHUNK_W = 10
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Exact-substring (chunk-level) dedup: split every document into
+    fixed 10-word chunks, count corpus-wide occurrences of each chunk,
+    and report per-doc the fraction of its chunks that appear more
+    than once in the corpus plus the keep/drop verdict — the tractable
+    distributed form of suffix-array substring dedup (fixed windows
+    instead of arbitrary substrings), and the paragraph-dedup rule
+    CCNet/Gopher apply.
+
+    Scale: chunking is JVM transform/slice (no Python, no shuffle);
+    the occurrence count is one groupBy on the chunk text — map-side
+    combinable, shuffle volume <= corpus size — followed by a semi-join
+    of the exploded chunks against the duplicated subset. At 100 TB
+    the group key would be xxhash64(chunk) (8 bytes instead of ~60);
+    the oracle pins the text-keyed semantics, which are identical
+    absent 64-bit collisions."""
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_CHUNK_BOILER)).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    base = docs.select("doc_id", text2.alias("t"))
+    # ceil(n/10) chunks; sequence(0, k-1) is safe — every doc has >= 1
+    # word so k >= 1 and the sequence never descends
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split(t, ' ')) / {_CHUNK_W}.0) AS INT) - 1),"
+        f"          i -> concat_ws(' ', slice(split(t, ' '), i * {_CHUNK_W} + 1, {_CHUNK_W})))"
+    )
+    exploded = base.select("doc_id", F.explode(chunks).alias("chunk"))
+    totals = exploded.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    dup_chunks = (
+        exploded.groupBy("chunk")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("chunk")
+    )
+    n_dup = (
+        exploded.join(dup_chunks, "chunk", "semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    frac = F.round(F.coalesce("n_dup", F.lit(0)) / F.col("n_chunks"), 4)
+    return (
+        totals.join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            frac.alias("dup_chunk_frac"),
+            (frac <= 0.5).alias("keep"),
+        )
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_CHUNK_BOILER}' || text
+              ELSE text END AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(string_split(t, ' ')) / {_CHUNK_W}.0) AS INT)),
+           i -> array_to_string(list_slice(string_split(t, ' '),
+                                           i * {_CHUNK_W} + 1, i * {_CHUNK_W} + {_CHUNK_W}), ' ')
+         )) AS chunk
+  FROM d
+), dup AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING count(*) > 1
+), nd AS (
+  SELECT ch.doc_id, count(*) AS n_dup
+  FROM ch JOIN dup ON ch.chunk = dup.chunk
+  GROUP BY ch.doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_chunks,
+       round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / tot.n_chunks, 4) AS dup_chunk_frac,
+       round(CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / tot.n_chunks, 4) <= 0.5 AS keep
+FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1884,6 +2074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_prefix_gate": q_robots_prefix_gate,
     "robots_wildcard_gate": q_robots_wildcard,
     "streaming_fetch_plan": q_streaming_fetch_plan,
+    "decontaminate": q_decontaminate,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1931,4 +2123,6 @@ ORACLE_SQL: dict[str, str] = {
     "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
     "robots_wildcard_gate": SQL_ROBOTS_WILDCARD,
     "streaming_fetch_plan": SQL_STREAMING_FETCH_PLAN,
+    "decontaminate": SQL_DECONTAMINATE,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
 }

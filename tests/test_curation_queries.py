@@ -207,3 +207,81 @@ def test_gopher_repetition_single_token_doc_excluded(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     got = QUERIES["gopher_repetition"](spark, str(tmp_path)).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_decontaminate_flags_leaked_docs(spark, tmp_path):
+    """Round-5 decontamination semantics on a hand-built corpus: the
+    benchmark doc (id 0, %97==0) and the leaked doc (id 31, %31==0)
+    both carry the sentinel 8-gram, so 31 is contaminated; a doc
+    sharing no 8-gram with the benchmark is clean; the benchmark doc
+    itself never appears in the output."""
+    clean = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (0, "bench text one two three four five six seven", "en", "s", 0),
+        (31, clean, "en", "s", 0),  # %31==0 -> sentinel appended
+        (5, clean, "en", "s", 0),  # same base text, no sentinel
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in QUERIES["decontaminate"](spark, str(tmp_path)).collect()}
+    assert set(got) == {31, 5}  # benchmark doc 0 excluded from output
+    assert got[31]["contaminated"] is True and got[31]["n_hits"] >= 1
+    assert got[5]["contaminated"] is False and got[5]["n_hits"] == 0
+
+
+def test_decontaminate_benchmark_side_stays_broadcast(spark):
+    """The benchmark shingle set is small by construction (eval suites,
+    not corpora), so its hint must survive auto-broadcast being off —
+    the 100-TB train side is never shuffled for the overlap join."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["decontaminate"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastHashJoin" in plan  # the hinted benchmark set
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_dedup_counts_shared_chunks(spark, tmp_path):
+    """Two docs sharing one exact 10-word chunk are both flagged with
+    the right fraction; a doc with no shared chunk reports 0.0. Also
+    pins the ceil(n/10) chunking: 25 words -> 3 chunks."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(15))  # 25 words total -> 3 chunks
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} {uniq_a}", "en", "s", 0),
+        (2, f"{shared} {uniq_b}", "en", "s", 0),
+        (3, uniq_c, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in QUERIES["chunk_dedup"](spark, str(tmp_path)).collect()}
+    assert got[1]["n_chunks"] == 3 and got[1]["dup_chunk_frac"] == 0.3333
+    assert got[2]["n_chunks"] == 2 and got[2]["dup_chunk_frac"] == 0.5
+    assert got[3]["n_chunks"] == 2 and got[3]["dup_chunk_frac"] == 0.0
+    assert got[1]["keep"] is True and got[3]["keep"] is True
+    # two %7==0 docs with identical text: boilerplate chunk AND tail
+    # chunk both duplicate -> frac 1.0, dropped
+    rows.append((7, "x", "en", "s", 0))
+    rows.append((14, "x", "en", "s", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in QUERIES["chunk_dedup"](spark, str(tmp_path)).collect()}
+    assert got[7]["dup_chunk_frac"] == 1.0 and got[7]["keep"] is False
+
+
+def test_chunk_dedup_plan_partial_agg_no_python(spark):
+    """The occurrence count must partially aggregate map-side (the
+    groupBy key is the chunk text) and the whole pipeline stays JVM —
+    chunking is transform/slice, not a UDF."""
+    plan = _plan(QUERIES["chunk_dedup"](spark, SF_DIR))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
