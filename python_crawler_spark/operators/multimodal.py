@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import exif as EXIF
 from ..functions import images as IMG
 from ..functions.hashing import xxhash64
 
@@ -44,6 +45,39 @@ def synth_image_pixels(src_url: str) -> tuple[np.ndarray, str]:
     if h % 3 == 0:
         return px, ("jpeg_progressive" if h % 6 == 0 else "jpeg")
     return px, ("png_interlaced" if h % 5 == 0 else "png")
+
+
+def synth_image_blob(src_url: str) -> bytes:
+    """Encoded bytes for a synthetic image URL. JPEGs carry a
+    deterministic EXIF APP1 (orientation cycling through all 8 values,
+    camera make/model, capture timestamp, pixel dims) so the e2e crawl
+    exercises the EXIF parser on real segment bytes; PNG/GIF are bare.
+    Shared by the engine fetch stage AND the sequential simulator
+    (tests/oracle.py) — byte-identical on both sides by construction."""
+    px, enc_fmt = synth_image_pixels(src_url)
+    blob = IMG.encode_image(px, enc_fmt)
+    if enc_fmt.startswith("jpeg"):
+        h = xxhash64("exif:" + src_url) & 0x7FFFFFFFFFFFFFFF
+        ts = (
+            f"2020:{1 + h % 12:02d}:{1 + (h // 12) % 28:02d} "
+            f"{h % 24:02d}:{(h // 24) % 60:02d}:{(h // 1440) % 60:02d}"
+        )
+        tiff = EXIF.build_exif(
+            {
+                "Make": "SynthCam",
+                "Model": f"SC-{h % 100}",
+                "Orientation": 1 + h % 8,
+                "DateTime": ts,
+                "Exif": {
+                    "DateTimeOriginal": ts,
+                    "PixelXDimension": int(px.shape[1]),
+                    "PixelYDimension": int(px.shape[0]),
+                },
+            },
+            byte_order="<" if h % 2 == 0 else ">",
+        )
+        blob = EXIF.insert_exif_jpeg(blob, tiff)
+    return blob
 
 
 def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
@@ -69,8 +103,7 @@ def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
         for pdf in batches:
             blobs, ws, hs, fmts, phashes, smalls = [], [], [], [], [], []
             for src in pdf[src_col]:
-                px, enc_fmt = synth_image_pixels(src)
-                blob = IMG.encode_image(px, enc_fmt)
+                blob = synth_image_blob(src)
                 w, h, fmt, dec = IMG.decode_image(blob)
                 blobs.append(blob)
                 ws.append(w)
@@ -219,3 +252,66 @@ def with_rehost_id(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     return imgs.withColumn("image_id", iid).withColumn(
         "rehost_url", F.concat(F.lit(TFS_BASE), name)
     )
+
+
+def extract_image_exif(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """EXIF metadata columns from a binary image column: camera
+    make/model, orientation, capture time, and the upright (display)
+    dimensions after applying the orientation — NULLs for formats that
+    carry no EXIF (PNG/GIF) or images without the APP1 segment.
+
+    Arrow-batched mapInPandas over the opaque binary column: the
+    100-TB-shape for metadata extraction — no shuffle, no driver
+    involvement, bytes never leave the executor that scanned them."""
+    out_schema = T.StructType(
+        imgs.schema.fields
+        + [
+            T.StructField("exif_make", T.StringType()),
+            T.StructField("exif_model", T.StringType()),
+            T.StructField("exif_orientation", T.IntegerType()),
+            T.StructField("exif_datetime", T.StringType()),
+            T.StructField("upright_w", T.IntegerType()),
+            T.StructField("upright_h", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            makes, models, orients, dts, uws, uhs = [], [], [], [], [], []
+            for blob in pdf[bytes_col]:
+                make = model = dt = None
+                orient = uw = uh = None
+                b = bytes(blob)
+                if b[:2] == b"\xff\xd8":
+                    tiff = EXIF.extract_exif_jpeg(b)
+                    if tiff is not None:
+                        meta = EXIF.parse_exif(tiff)
+                        make = meta.get("Make")
+                        model = meta.get("Model")
+                        orient = meta.get("Orientation")
+                        sub = meta.get("Exif", {})
+                        dt = sub.get("DateTimeOriginal") or meta.get("DateTime")
+                        w = sub.get("PixelXDimension")
+                        h = sub.get("PixelYDimension")
+                        if w is not None and h is not None:
+                            # orientations 5-8 swap the display axes
+                            if orient is not None and orient >= 5:
+                                uw, uh = int(h), int(w)
+                            else:
+                                uw, uh = int(w), int(h)
+                makes.append(make)
+                models.append(model)
+                orients.append(orient)
+                dts.append(dt)
+                uws.append(uw)
+                uhs.append(uh)
+            yield pdf.assign(
+                exif_make=makes,
+                exif_model=models,
+                exif_orientation=pd.array(orients, dtype="Int32"),
+                exif_datetime=dts,
+                upright_w=pd.array(uws, dtype="Int32"),
+                upright_h=pd.array(uhs, dtype="Int32"),
+            )
+
+    return imgs.mapInPandas(run, out_schema)

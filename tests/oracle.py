@@ -18,14 +18,14 @@ from __future__ import annotations
 import re
 
 from python_crawler_spark.functions.hashing import xxhash64
-from python_crawler_spark.functions.images import encode_image, decode_image, is_small, phash64
+from python_crawler_spark.functions.images import decode_image, is_small, phash64
 from python_crawler_spark.functions.urls import (
     absolutize,
     canonicalize_url,
     host_of,
     pic_signature,
 )
-from python_crawler_spark.operators.multimodal import TFS_BASE, synth_image_pixels
+from python_crawler_spark.operators.multimodal import TFS_BASE, synth_image_blob
 from python_crawler_spark.parse import html as H
 from python_crawler_spark.sources import worldgen as W
 
@@ -157,8 +157,7 @@ class Oracle:
 
             q = parse_qs(urlsplit(src).query)
             fmt = img["data_type"] or q.get("wx_fmt", ["jpg"])[0]  # X3
-            px, enc_fmt = synth_image_pixels(src)
-            blob = encode_image(px, enc_fmt)
+            blob = synth_image_blob(src)
             w, h, dec_fmt, dec = decode_image(blob)
             small = is_small(blob)  # F16
             image_id = str(abs(xxhash64(src)))  # X7
