@@ -2027,6 +2027,116 @@ FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id
 """
 
 
+_SEMDEDUP_K = 8  # centroid count; production derives k from corpus size
+_SEMDEDUP_THR = 0.3  # synthetic 64-dim embeddings; real corpora ~0.95
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-pruned
+    cosine — assign every embedding to its nearest centroid, compare
+    pairs only WITHIN a cluster, and drop the higher-id member of any
+    pair above the similarity threshold. The third candidate-pruning
+    family next to sign-LSH (embed_cosine_dedup) and IVF (ivf_ann):
+    centroid buckets concentrate semantic neighbors, so the pruned
+    pair space loses almost no true near-dups.
+
+    Centroids here are the first K=8 embeddings (deterministic stand-in
+    for a precomputed k-means codebook). Scale: the codebook is a
+    config-sized constant (production k grows ~sqrt(n), still
+    broadcastable at millions of centroids via IVF-style two-level
+    assignment), so the assignment crossJoin is a hinted broadcast and
+    the corpus side never shuffles for it; the argmax is a window
+    keyed by vec_id (max-cardinality key — AQE splits freely); the
+    within-cluster self-join is an equi-join on cluster id whose
+    bucket sizes k keeps bounded. Cosines round to 4dp before every
+    comparison so both engines agree despite summation-order float
+    drift; centroid ties break on the lower centroid id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+
+    def _cos(ea: str, eb: str):
+        dot = F.expr(
+            f"aggregate(zip_with({ea}, {eb},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        na = F.expr(
+            f"sqrt(aggregate({ea}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        nb = F.expr(
+            f"sqrt(aggregate({eb}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        return F.round(dot / (na * nb), 4)
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", _cos("embedding", "cemb").alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(_cos("a.embedding", "b.embedding") >= _SEMDEDUP_THR)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cluster", F.coalesce("_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+), px AS (
+  SELECT e.vec_id, c.cid,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cemb) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN c
+), cosim AS (
+  SELECT vec_id, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+  FROM px GROUP BY vec_id, cid
+), assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+    FROM cosim) WHERE rk = 1
+), m AS (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+), cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), dup AS (
+  SELECT DISTINCT vb AS vec_id FROM (
+    SELECT va, vb,
+           round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos
+    FROM cand GROUP BY va, vb)
+  WHERE cos >= {_SEMDEDUP_THR}
+)
+SELECT m.vec_id, m.cluster, (d.vec_id IS NOT NULL) AS is_dup
+FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2076,6 +2186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_fetch_plan": q_streaming_fetch_plan,
     "decontaminate": q_decontaminate,
     "chunk_dedup": q_chunk_dedup,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2125,4 +2236,5 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_fetch_plan": SQL_STREAMING_FETCH_PLAN,
     "decontaminate": SQL_DECONTAMINATE,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "semdedup": SQL_SEMDEDUP,
 }

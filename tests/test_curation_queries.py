@@ -285,3 +285,46 @@ def test_chunk_dedup_plan_partial_agg_no_python(spark):
     assert "partial_count" in plan  # map-side combine before the shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_assigns_and_drops_within_cluster(spark, tmp_path):
+    """Hand-built geometry: centroids 0-3 are the R^4 basis, 4-7 are
+    mixed directions; vectors 10/11 point along e0 so they land in
+    cluster 0 and both duplicate against earlier members (the centroid
+    itself and each other); every cluster's lowest-id member is kept."""
+    import numpy as np
+
+    basis = np.eye(4, dtype=np.float32)
+    mixed = np.array(
+        [[1, 1, 0, 0], [0, 1, 1, 0], [0, 0, 1, 1], [1, 0, 0, 1]], dtype=np.float32
+    )
+    rows = [(i, [float(x) for x in basis[i]], 0) for i in range(4)]
+    rows += [(4 + i, [float(x) for x in mixed[i]], 0) for i in range(4)]
+    rows.append((10, [2.0, 0.1, 0.0, 0.0], 1))
+    rows.append((11, [4.0, 0.2, 0.0, 0.0], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r["vec_id"]: r for r in QUERIES["semdedup"](spark, str(tmp_path)).collect()}
+    assert got[10]["cluster"] == 0 and got[11]["cluster"] == 0
+    assert got[10]["is_dup"] is True and got[11]["is_dup"] is True
+    assert got[0]["is_dup"] is False  # lowest id in cluster 0 is kept
+    for cid in range(1, 8):  # each centroid alone in its own cluster
+        assert got[cid]["cluster"] == cid and got[cid]["is_dup"] is False
+
+
+def test_semdedup_plan_broadcast_codebook_equi_cluster_join(spark):
+    """The centroid codebook fan-out must stay a broadcast (it is a
+    config-sized constant) even with auto-broadcast off, and the
+    within-cluster pairing must be an equi-join on the cluster id —
+    never an unpruned cartesian over the corpus."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["semdedup"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "BroadcastNestedLoopJoin" in plan  # the hinted 8-row codebook
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # cluster join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
