@@ -130,3 +130,62 @@ def test_extract_image_exif_operator(spark):
             assert (r["upright_w"], r["upright_h"]) == (r["w"], r["h"])
     for r in others:
         assert r["exif_make"] is None and r["exif_orientation"] is None
+
+
+# ------------------------------------------------------------ property fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ascii = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+    )
+    _value = st.one_of(
+        _ascii,
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.tuples(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=1, max_value=2**32 - 1),
+        ),
+        st.binary(max_size=24),
+    )
+    _tags = st.sampled_from(
+        ["Make", "Model", "Software", "ImageDescription", "DateTime"]
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        fields=st.dictionaries(_tags, _value, min_size=1, max_size=5),
+        sub=st.dictionaries(
+            st.sampled_from(["DateTimeOriginal", "PixelXDimension", "FNumber"]),
+            _value,
+            max_size=3,
+        ),
+        bo=st.sampled_from(["<", ">"]),
+    )
+    def test_exif_round_trip_property(fields, sub, bo):
+        """Any field dict the builder accepts must parse back to the
+        same values under either byte order — ints may widen
+        SHORT->LONG but never change value."""
+        f = dict(fields)
+        if sub:
+            f["Exif"] = sub
+        got = E.parse_exif(E.build_exif(f, bo))
+        for k, v in fields.items():
+            assert got[k] == v, (k, v, got.get(k))
+        for k, v in sub.items():
+            assert got["Exif"][k] == v
+
+    @settings(max_examples=80, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=120))
+    def test_exif_parser_never_hangs_or_crashes_unguarded(data):
+        """Arbitrary bytes either parse or raise ValueError/struct.error
+        — never an unbounded loop or an uncontrolled exception type."""
+        try:
+            E.parse_exif(b"II\x2a\x00" + data)
+        except (ValueError, struct.error):
+            pass
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
