@@ -2137,6 +2137,273 @@ FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
 """
 
 
+# ------------------------------------------------ image+caption curation
+# The graft's payload axis: curation queries over the input_hint
+# image+caption table shape (image_id, w, h, fmt, caption, n_bytes).
+# The driver testdata carries no image table, so the gate derives one
+# DETERMINISTICALLY from `documents` via md5 arithmetic both engines
+# share (the _phash_signatures trick): every column is a pure function
+# of doc_id, so Spark and DuckDB see the identical corpus. In
+# production these queries run unchanged on the crawl's images output
+# (plans/crawl.py _image_pipeline emits exactly this schema) or any
+# Iceberg image+caption table at 10^10 rows: each is a single-pass
+# projection or a map-side-combinable rollup — no join, no window, no
+# skewable key.
+
+_IMG_FMT_CASE = (
+    "CASE WHEN {m} < 10 THEN 'jpeg' WHEN {m} < 15 THEN 'png' "
+    "WHEN {m} < 18 THEN 'gif' WHEN {m} < 19 THEN 'webp' ELSE 'bmp' END"
+)
+_IMG_BPP_CASE = (
+    "CASE fmt WHEN 'jpeg' THEN 12 WHEN 'png' THEN 30 WHEN 'gif' THEN 8 "
+    "WHEN 'webp' THEN 10 ELSE 240 END"
+)
+
+
+def _image_pairs(docs: DataFrame) -> DataFrame:
+    """input_hint-shaped image+caption rows derived from documents:
+    (image_id, source, caption, w, h, fmt, n_bytes), every derived
+    column a pure md5 function of doc_id (identical arithmetic in the
+    DuckDB oracle CTE _IMG_PAIRS_CTE — keep the two in lockstep).
+    Dimensions span 16..2048, five formats with distinct
+    bytes-per-pixel bases plus per-image jitter so the density gate
+    has nontrivial selectivity on both sides of its bounds."""
+    d = docs.selectExpr(
+        "doc_id AS image_id",
+        "source",
+        "text AS caption",
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':img')), 1, 15),"
+        " 16, 10) AS BIGINT) AS h1",
+    )
+    d = d.selectExpr(
+        "image_id", "source", "caption", "h1",
+        "CAST(16 + h1 % 2033 AS INT) AS w",
+        "CAST(16 + shiftright(h1, 11) % 2033 AS INT) AS h",
+        _IMG_FMT_CASE.format(m="(shiftright(h1, 4) % 20)") + " AS fmt",
+    )
+    return d.selectExpr(
+        "image_id", "source", "caption", "w", "h", "fmt",
+        f"(CAST(w AS BIGINT) * h * (({_IMG_BPP_CASE}) + shiftright(h1, 22) % 120))"
+        " DIV 10 AS n_bytes",
+    )
+
+
+# Shared DuckDB mirror of _image_pairs (md5 hex -> BIGINT via 0x cast).
+_IMG_PAIRS_CTE = f"""imgs0 AS (
+  SELECT doc_id AS image_id, source, text AS caption,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':img'), 1, 15)) AS BIGINT) AS h1
+  FROM documents
+), imgs1 AS (
+  SELECT image_id, source, caption, h1,
+         CAST(16 + h1 % 2033 AS INTEGER) AS w,
+         CAST(16 + (h1 >> 11) % 2033 AS INTEGER) AS h,
+         {_IMG_FMT_CASE.format(m="((h1 >> 4) % 20)")} AS fmt
+  FROM imgs0
+), imgs AS (
+  SELECT image_id, source, caption, w, h, fmt,
+         (CAST(w AS BIGINT) * h * (({_IMG_BPP_CASE}) + (h1 >> 22) % 120)) // 10 AS n_bytes
+  FROM imgs1
+)"""
+
+
+def q_image_caption_filter(spark, sf_dir):
+    """LAION/DataComp-style image+caption curation gate (Schuhmann et
+    al. 2022 §3.1; Gadre et al. 2023) — the multimodal twin of
+    token_quality: per image, five independent rule verdicts plus the
+    conjunction:
+      size_ok    — min side >= 64 px (thumbnail/tracking-pixel gate);
+      ratio_ok   — aspect within [1/3, 3], as exact integer
+                   cross-multiplication (no float at the boundary);
+      density_ok — bytes-per-pixel within [0.5, 8] (junk files below,
+                   decompression bombs above), integer math;
+      fmt_ok     — decodable web formats only;
+      caption_ok — 2..96 words and alphanumeric ratio >= 0.5 (alt-text
+                   junk gate), ratio rounded 4dp pre-compare on both
+                   engines.
+    Reference analog: the byte-size/type image gates of
+    weixin_public.py:310-373, generalized to the training-data shape.
+    Scale: one projection over the corpus — zero Exchange
+    (plan-asserted), pure codegen; filters push to the parquet scan
+    when composed downstream."""
+    img = _image_pairs(_t(spark, sf_dir, "documents"))
+    img = img.selectExpr(
+        "image_id", "w", "h", "fmt", "n_bytes",
+        "size(filter(split(caption, ' '), x -> x != '')) AS caption_words",
+        "CASE WHEN length(caption) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE round(CAST(length(regexp_replace(caption, '[^a-zA-Z0-9]', '')) AS DOUBLE)"
+        " / length(caption), 4) END AS alnum_ratio",
+    )
+    flags = img.selectExpr(
+        "image_id", "w", "h", "fmt", "caption_words", "alnum_ratio",
+        "least(w, h) >= 64 AS size_ok",
+        "greatest(w, h) <= 3 * least(w, h) AS ratio_ok",
+        "(2 * n_bytes >= CAST(w AS BIGINT) * h"
+        " AND n_bytes <= 8 * CAST(w AS BIGINT) * h) AS density_ok",
+        "fmt IN ('jpeg', 'png', 'webp') AS fmt_ok",
+        "(caption_words BETWEEN 2 AND 96 AND alnum_ratio >= 0.5) AS caption_ok",
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("size_ok") & F.col("ratio_ok") & F.col("density_ok")
+        & F.col("fmt_ok") & F.col("caption_ok"),
+    )
+
+
+SQL_IMAGE_CAPTION_FILTER = f"""
+WITH {_IMG_PAIRS_CTE}, cap AS (
+  SELECT image_id, w, h, fmt, n_bytes,
+         len(list_filter(string_split(caption, ' '), x -> x <> '')) AS caption_words,
+         CASE WHEN length(caption) = 0 THEN 0.0
+              ELSE round(CAST(length(regexp_replace(caption, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+                         / length(caption), 4) END AS alnum_ratio
+  FROM imgs
+), flags AS (
+  SELECT image_id, w, h, fmt, caption_words, alnum_ratio,
+         least(w, h) >= 64 AS size_ok,
+         greatest(w, h) <= 3 * least(w, h) AS ratio_ok,
+         (2 * n_bytes >= CAST(w AS BIGINT) * h
+          AND n_bytes <= 8 * CAST(w AS BIGINT) * h) AS density_ok,
+         fmt IN ('jpeg', 'png', 'webp') AS fmt_ok,
+         (caption_words BETWEEN 2 AND 96 AND alnum_ratio >= 0.5) AS caption_ok
+  FROM cap
+)
+SELECT *, (size_ok AND ratio_ok AND density_ok AND fmt_ok AND caption_ok) AS keep
+FROM flags
+"""
+
+
+_ASPECT_CUTS = (0.4082, 0.6124, 0.8660, 1.1547, 1.6330, 2.4495)
+_ASPECT_NAMES = ("1:3", "1:2", "3:4", "1:1", "4:3", "2:1", "3:1")
+
+
+def _aspect_bucket_case(col: str) -> str:
+    """Nearest-in-log-space aspect bucket as a CASE ladder: cut points
+    are the geometric means of adjacent bucket ratios, so the ladder IS
+    argmin |log(aspect) - log(bucket)|. Both engines evaluate the same
+    IEEE double w/h against the same literals — agreement is exact, no
+    rounding step needed."""
+    arms = " ".join(
+        f"WHEN {col} < {cut} THEN '{name}'"
+        for cut, name in zip(_ASPECT_CUTS, _ASPECT_NAMES)
+    )
+    return f"CASE {arms} ELSE '{_ASPECT_NAMES[-1]}' END"
+
+
+def q_aspect_bucket_stats(spark, sf_dir):
+    """SDXL-style aspect-ratio bucketing rollup (Podell et al. 2023
+    App. I; NovelAI bucketing): assign every image to the nearest of
+    seven canonical training aspect buckets in log space, then roll up
+    count, mean dimensions, mean aspect, and total pixels per bucket —
+    the batch-construction statistic an image-model trainer reads
+    before fixing per-bucket resolutions.
+
+    Scale: groupBy on a 7-value key after a pure projection — partial
+    aggregation map-side (plan-asserted), one 7-row exchange; integer
+    sums stay exact in binary64 (dims <= 2048), float means rounded
+    4dp on both engines."""
+    img = _image_pairs(_t(spark, sf_dir, "documents"))
+    img = img.selectExpr("w", "h", "CAST(w AS DOUBLE) / h AS aspect")
+    img = img.selectExpr(
+        "w", "h", "aspect", _aspect_bucket_case("aspect") + " AS bucket"
+    )
+    return img.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("w"), 4).alias("avg_w"),
+        F.round(F.avg("h"), 4).alias("avg_h"),
+        F.round(F.avg("aspect"), 4).alias("avg_aspect"),
+        F.sum(F.expr("CAST(w AS BIGINT) * h")).alias("total_px"),
+    )
+
+
+SQL_ASPECT_BUCKET_STATS = f"""
+WITH {_IMG_PAIRS_CTE}, asp AS (
+  SELECT w, h, CAST(w AS DOUBLE) / h AS aspect FROM imgs
+), bucketed AS (
+  SELECT w, h, aspect, {_aspect_bucket_case("aspect")} AS bucket FROM asp
+)
+SELECT bucket, count(*) AS n,
+       round(avg(w), 4) AS avg_w,
+       round(avg(h), 4) AS avg_h,
+       round(avg(aspect), 4) AS avg_aspect,
+       sum(CAST(w AS BIGINT) * h) AS total_px
+FROM bucketed GROUP BY bucket
+"""
+
+
+_EXIF_N = 240
+
+
+def q_image_exif_extract(spark, sf_dir):
+    """EXIF metadata extraction through the REAL binary path: encode
+    deterministic JPEGs (functions/jpeg + an APP1 TIFF segment from
+    functions/exif.build_exif), decode them, and parse camera make /
+    model / orientation / capture time / upright display dims back out
+    of the bytes with operators.multimodal.extract_image_exif — all
+    inside Arrow-batched mapInPandas, no shuffle, bytes never leave
+    the executor (the 100-TB metadata-extraction shape).
+
+    Like crawl_fetch_schedule, sf_dir is unused: the corpus is a fixed
+    deterministic URL set (scale-independent row counts); PNG-encoded
+    URLs carry no EXIF and are filtered to keep the gate's value
+    comparison NULL-free. The oracle (_sql_image_exif_golden) recomputes
+    the expected fields from the GENERATOR'S PARAMETERS — never by
+    parsing bytes — so a codec or parser regression breaks the match.
+    Reference analog: image type/size classification,
+    weixin_public.py:310-373."""
+    from python_crawler_spark.operators.multimodal import (
+        extract_image_exif,
+        fetch_and_decode_images,
+    )
+
+    urls = spark.range(_EXIF_N).selectExpr(
+        "concat('http://img.example.invalid/exif/', CAST(id AS STRING), '.bin') AS src"
+    )
+    ex = extract_image_exif(fetch_and_decode_images(urls, "src"), "bytes")
+    return ex.filter(F.col("dec_fmt") == "jpeg").select(
+        "src", "w", "h", "exif_make", "exif_model", "exif_orientation",
+        "exif_datetime", "upright_w", "upright_h",
+    )
+
+
+def _sql_image_exif_golden() -> str:
+    """Golden VALUES oracle for image_exif_extract, recomputed from the
+    generator's parameters (synth_image_pixels' dimension arithmetic
+    and the EXIF dict synth_image_blob passes to build_exif — keep in
+    lockstep with operators/multimodal.py). Independent of the JPEG
+    codec and of the EXIF builder/parser under test: the Spark side
+    must round-trip real SOF dims and real APP1 bytes to match."""
+    from python_crawler_spark.functions.hashing import xxhash64
+
+    mask = 0x7FFFFFFFFFFFFFFF
+    vals = []
+    for i in range(_EXIF_N):
+        src = f"http://img.example.invalid/exif/{i}.bin"
+        hp = xxhash64(src) & mask
+        if hp % 3 != 0:
+            continue  # synthesized as PNG: carries no EXIF, filtered out
+        w = 8 + hp % 48
+        ht = 8 + (hp // 48) % 48
+        he = xxhash64("exif:" + src) & mask
+        ts = (
+            f"2020:{1 + he % 12:02d}:{1 + (he // 12) % 28:02d} "
+            f"{he % 24:02d}:{(he // 24) % 60:02d}:{(he // 1440) % 60:02d}"
+        )
+        orient = 1 + he % 8
+        uw, uh = (ht, w) if orient >= 5 else (w, ht)
+        vals.append(
+            f"('{src}',{w},{ht},'SynthCam','SC-{he % 100}',{orient},'{ts}',{uw},{uh})"
+        )
+    return (
+        "SELECT src, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, "
+        "exif_make, exif_model, CAST(exif_orientation AS INTEGER) AS exif_orientation, "
+        "exif_datetime, CAST(upright_w AS INTEGER) AS upright_w, "
+        "CAST(upright_h AS INTEGER) AS upright_h FROM (VALUES\n"
+        + ",\n".join(vals)
+        + "\n) AS t(src, w, h, exif_make, exif_model, exif_orientation, "
+        "exif_datetime, upright_w, upright_h)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2187,6 +2454,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "chunk_dedup": q_chunk_dedup,
     "semdedup": q_semdedup,
+    "image_caption_filter": q_image_caption_filter,
+    "aspect_bucket_stats": q_aspect_bucket_stats,
+    "image_exif_extract": q_image_exif_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2237,4 +2507,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "semdedup": SQL_SEMDEDUP,
+    "image_caption_filter": SQL_IMAGE_CAPTION_FILTER,
+    "aspect_bucket_stats": SQL_ASPECT_BUCKET_STATS,
+    "image_exif_extract": _sql_image_exif_golden(),
 }

@@ -1,0 +1,151 @@
+"""Image+caption curation queries (round 5, the graft's payload axis):
+LAION-style filter gate, SDXL aspect bucketing, and EXIF extraction
+through the real binary path. Value parity vs DuckDB is the driver
+gate; here we pin rule semantics, boundary behavior, and the
+scale-critical plan shapes (zero-shuffle projection, map-side partial
+aggregation, no NULL leakage past the format filter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_crawler_spark.queries import (
+    _ASPECT_NAMES,
+    _aspect_bucket_case,
+    _image_pairs,
+    QUERIES,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ------------------------------------------------------------- semantics
+
+
+def test_image_caption_filter_keep_is_conjunction_and_selective(spark):
+    rows = QUERIES["image_caption_filter"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["size_ok"] and r["ratio_ok"] and r["density_ok"]
+            and r["fmt_ok"] and r["caption_ok"]
+        )
+    # the synthetic corpus must exercise both sides of every rule —
+    # a gate that never fires (or always fires) tests nothing
+    for flag in ("size_ok", "ratio_ok", "density_ok", "fmt_ok", "caption_ok"):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, f"{flag} is degenerate: {vals}"
+
+
+def test_image_caption_filter_caption_stats_match_python(spark):
+    """caption_words / alnum_ratio recomputed in plain Python from the
+    parquet text for every doc — pins the split/regexp semantics the
+    two engines must share."""
+    docs = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").collect()}
+    out = QUERIES["image_caption_filter"](spark, SF_DIR).collect()
+    for r in out:
+        text = docs[r["image_id"]]
+        words = [w for w in text.split(" ") if w != ""]
+        assert r["caption_words"] == len(words)
+        if len(text) == 0:
+            assert r["alnum_ratio"] == 0.0
+        else:
+            alnum = sum(1 for c in text if c.isascii() and c.isalnum())
+            assert abs(r["alnum_ratio"] - alnum / len(text)) < 5e-5
+
+
+def test_image_pairs_derivation_is_deterministic(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(map(tuple, _image_pairs(docs).drop("caption").collect()))
+    b = sorted(map(tuple, _image_pairs(docs).drop("caption").collect()))
+    assert a == b
+    ws = [r[2] for r in a]
+    assert min(ws) >= 16 and max(ws) <= 2048
+
+
+def test_aspect_bucket_case_boundaries(spark):
+    """Known dims land in the right log-space-nearest bucket, including
+    exactly-square and the extreme tails."""
+    cases = [
+        (100, 300, "1:3"),  # 0.333
+        (100, 200, "1:2"),  # 0.5
+        (3, 4, "3:4"),      # 0.75
+        (128, 128, "1:1"),  # 1.0
+        (160, 120, "4:3"),  # 1.333
+        (200, 100, "2:1"),  # 2.0
+        (900, 100, "3:1"),  # 9.0 -> clamps to widest bucket
+        (10, 400, "1:3"),   # 0.025 -> clamps to tallest bucket
+    ]
+    df = spark.createDataFrame(cases, "w int, h int, want string").selectExpr(
+        "want", _aspect_bucket_case("CAST(w AS DOUBLE) / h") + " AS got"
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"], r
+    # exhaustive: bucket names are exactly the canonical seven
+    got = {r["bucket"] for r in QUERIES["aspect_bucket_stats"](spark, SF_DIR).collect()}
+    assert got <= set(_ASPECT_NAMES)
+
+
+def test_aspect_bucket_stats_totals_conserve(spark):
+    out = QUERIES["aspect_bucket_stats"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n"] for r in out) == n_docs  # every image bucketed once
+
+
+def test_image_exif_extract_round_trips_generator_params(spark):
+    """66 deterministic JPEGs: every EXIF field non-NULL, orientation
+    covers the full 1..8 range (so the upright swap is exercised on
+    both branches), and the swap is consistent with the orientation."""
+    rows = QUERIES["image_exif_extract"](spark, SF_DIR).collect()
+    assert len(rows) == 66
+    orients = {r["exif_orientation"] for r in rows}
+    assert orients == set(range(1, 9))
+    for r in rows:
+        assert r["exif_make"] == "SynthCam"
+        assert r["exif_model"].startswith("SC-")
+        assert r["exif_datetime"].startswith("2020:")
+        if r["exif_orientation"] >= 5:
+            assert (r["upright_w"], r["upright_h"]) == (r["h"], r["w"])
+        else:
+            assert (r["upright_w"], r["upright_h"]) == (r["w"], r["h"])
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def test_image_caption_filter_plan_zero_exchange(spark):
+    """The filter gate is a single pass over the corpus: no Exchange,
+    no Python stage — pure whole-stage-codegen projection (the shape
+    that scans 100 TB once and writes verdicts beside it)."""
+    plan = _plan(QUERIES["image_caption_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aspect_bucket_stats_partial_agg_single_exchange(spark):
+    """Rollup on a 7-value key: map-side partial aggregation, exactly
+    one hash exchange (7 rows cross the wire per partition), no join."""
+    plan = _plan(QUERIES["aspect_bucket_stats"](spark, SF_DIR))
+    # formatted mode lists tree nodes as "Name (id)" and repeats them
+    # in the details section — count tree entries only
+    assert plan.count("Exchange (") == 1
+    assert "partial_count" in plan or "Partial" in plan
+    assert "Join" not in plan
+
+
+def test_image_exif_extract_no_shuffle_bytes_stay_put(spark):
+    """Metadata extraction never shuffles the binary column: the only
+    stages are range -> mapInPandas (fetch/decode) -> mapInPandas
+    (EXIF) -> filter/project."""
+    plan = _plan(QUERIES["image_exif_extract"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 2  # tree entries only
