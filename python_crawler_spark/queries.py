@@ -2330,6 +2330,85 @@ FROM bucketed GROUP BY bucket
 """
 
 
+def q_crossmodal_dedup(spark, sf_dir):
+    """Cross-modal dedup — the LAION-style union of both dedup
+    modalities over the image+caption corpus: two images are
+    duplicates if their CAPTIONS match exactly (text modality) OR
+    their perceptual signatures are near (pixel modality,
+    phash_hamming's banded-LSH pairs at Hamming <= 9 within source).
+    Components over the UNION of both edge families merge clusters
+    that neither modality finds alone (A capdup B, B pixdup C =>
+    {A,B,C}); min image id is each cluster's canonical survivor, and
+    every image gets a verdict (singletons keep themselves).
+
+    Scale: caption edges are STAR-shaped — each identical-caption
+    group contributes (k-1) edges to its min member, never k² (a
+    boilerplate caption shared by millions of images stays linear);
+    pixel edges inherit phash_hamming's banded equi-join (never
+    all-pairs). Components via alternating large-star/small-star
+    (O(log n) rounds). Captions dedupe globally; pixel near-dups
+    within source, inherited from phash_hamming.
+    Reference analog: seen-set + pic-signature gates unified,
+    weixin_public.py:66-106,310-373."""
+    from python_crawler_spark.operators.components import (
+        _ckpt,
+        _unpersist,
+        cc_alternating_stars,
+    )
+
+    img = _image_pairs(_t(spark, sf_dir, "documents")).select(
+        "image_id", "caption"
+    )
+    cap = img.select("image_id", F.md5("caption").alias("ck"))
+    groups = cap.groupBy("ck").agg(
+        F.min("image_id").alias("root"), F.count("*").alias("n")
+    )
+    cap_edges = (
+        cap.join(groups.filter(F.col("n") > 1), "ck")
+        .filter(F.col("image_id") != F.col("root"))
+        .select(F.col("root").alias("a"), F.col("image_id").alias("b"))
+    )
+    ph_edges = q_phash_hamming(spark, sf_dir).select(
+        F.col("da").alias("a"), F.col("db").alias("b")
+    )
+    pairs, pair_ids = _ckpt(cap_edges.unionByName(ph_edges))
+    labels = cc_alternating_stars(pairs)
+    _unpersist(spark, pair_ids)
+    return (
+        img.select(F.col("image_id").alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("cluster"))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster"))
+    )
+
+
+SQL_CROSSMODAL_DEDUP = f"""
+WITH RECURSIVE {_PH_PAIRS_CTES},
+cg AS (
+  SELECT doc_id, md5(text) AS ck FROM documents
+), cr AS (
+  SELECT ck, MIN(doc_id) AS root, COUNT(*) AS n FROM cg GROUP BY ck
+), cap_edges AS (
+  SELECT r.root AS a, g.doc_id AS b
+  FROM cg g JOIN cr r USING (ck)
+  WHERE r.n > 1 AND g.doc_id <> r.root
+), all_edges AS (
+  SELECT a, b FROM cap_edges UNION ALL SELECT da, db FROM ppairs
+), edges AS (
+  SELECT a AS src, b AS dst FROM all_edges UNION ALL SELECT b, a FROM all_edges
+), reach(doc, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
+), labels AS (
+  SELECT doc AS doc_id, MIN(r) AS cluster FROM reach GROUP BY doc
+)
+SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+       (COALESCE(l.cluster, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+"""
+
+
 _EXIF_N = 240
 
 
@@ -2457,6 +2536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_caption_filter": q_image_caption_filter,
     "aspect_bucket_stats": q_aspect_bucket_stats,
     "image_exif_extract": q_image_exif_extract,
+    "crossmodal_dedup": q_crossmodal_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2510,4 +2590,5 @@ ORACLE_SQL: dict[str, str] = {
     "image_caption_filter": SQL_IMAGE_CAPTION_FILTER,
     "aspect_bucket_stats": SQL_ASPECT_BUCKET_STATS,
     "image_exif_extract": _sql_image_exif_golden(),
+    "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
 }

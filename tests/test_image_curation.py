@@ -119,6 +119,46 @@ def test_image_exif_extract_round_trips_generator_params(spark):
             assert (r["upright_w"], r["upright_h"]) == (r["w"], r["h"])
 
 
+def test_crossmodal_dedup_chains_modalities(spark, tmp_path):
+    """A capdup B (identical caption, DIFFERENT sources) and B pixdup C
+    (one appended word => simhash Hamming 3, same source) must land in
+    ONE cluster even though no single modality links A to C; an
+    unrelated doc stays a singleton that keeps itself."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        (2, base, "en", "s2", len(base)),          # caption dup of 1, global
+        (3, base + " extra", "en", "s2", 0),       # pixel near-dup of 2
+        (4, " ".join(f"oth{i}" for i in range(60)), "en", "s1", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["crossmodal_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 4  # every image gets a verdict
+    assert got[1]["cluster"] == got[2]["cluster"] == got[3]["cluster"] == 1
+    assert got[1]["keep"] and not got[2]["keep"] and not got[3]["keep"]
+    assert got[4]["cluster"] == 4 and got[4]["keep"]
+
+
+def test_crossmodal_caption_edges_are_star_shaped(spark, tmp_path):
+    """k identical captions contribute k-1 edges (to the group min),
+    never k^2: all members cluster to the min id directly."""
+    text = " ".join(f"boil{i}" for i in range(30))
+    rows = [(i, text, "en", f"s{i}", 0) for i in range(10, 20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in QUERIES["crossmodal_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert set(got.values()) == {10}
+
+
 # ------------------------------------------------------------ plan shapes
 
 
