@@ -354,6 +354,37 @@ def phash64(pixels: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val  # signed long for Spark
 
 
+def image_features(pixels: np.ndarray) -> tuple[float, float, float, float]:
+    """Per-image visual statistics used by training-data curation
+    filters (blank/flat-image gates, screenshot-vs-photo heuristics,
+    LAION-style aesthetic pre-filters):
+      mean_lum, std_lum — ITU-R 601 luminance mean and standard
+        deviation (std ~ contrast; near-zero std = flat/blank image);
+      edge_frac — fraction of horizontal+vertical neighbor pairs whose
+        absolute luminance difference exceeds 24 (texture/edge
+        density; near-zero = flat fill, near-one = noise);
+      colorfulness — Hasler & Süsstrunk (2003) metric
+        sqrt(std_rg^2 + std_yb^2) + 0.3*sqrt(mean_rg^2 + mean_yb^2)
+        on the opponent axes rg = R-G, yb = (R+G)/2 - B.
+    All float64; deterministic for fixed pixels (numpy pairwise
+    summation is shape-deterministic)."""
+    g = to_gray(pixels)
+    mean_lum = float(g.mean())
+    std_lum = float(g.std())
+    gx = np.abs(np.diff(g, axis=1))
+    gy = np.abs(np.diff(g, axis=0))
+    n_pairs = gx.size + gy.size
+    edge_frac = float(((gx > 24).sum() + (gy > 24).sum()) / n_pairs) if n_pairs else 0.0
+    p = pixels.astype(np.float64)
+    rg = p[..., 0] - p[..., 1]
+    yb = 0.5 * (p[..., 0] + p[..., 1]) - p[..., 2]
+    colorfulness = float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    return mean_lum, std_lum, edge_frac, colorfulness
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

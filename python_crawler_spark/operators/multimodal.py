@@ -254,6 +254,41 @@ def with_rehost_id(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     )
 
 
+def extract_image_features(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Visual-statistics columns from a binary image column: mean/std
+    luminance, gradient edge fraction, and Hasler-Süsstrunk
+    colorfulness (functions/images.image_features) — the per-image
+    numbers curation filters gate on (blank/flat detection, texture
+    density, colorfulness floors).
+
+    Same 100-TB shape as extract_image_exif: Arrow-batched mapInPandas
+    over the opaque binary column, decode + numpy math per batch, no
+    shuffle, bytes never leave the scanning executor."""
+    out_schema = T.StructType(
+        imgs.schema.fields
+        + [
+            T.StructField("mean_lum", T.DoubleType()),
+            T.StructField("std_lum", T.DoubleType()),
+            T.StructField("edge_frac", T.DoubleType()),
+            T.StructField("colorfulness", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ml, sl, ef, cf = [], [], [], []
+            for blob in pdf[bytes_col]:
+                _, _, _, px = IMG.decode_image(bytes(blob))
+                a, b, c, d = IMG.image_features(px)
+                ml.append(a)
+                sl.append(b)
+                ef.append(c)
+                cf.append(d)
+            yield pdf.assign(mean_lum=ml, std_lum=sl, edge_frac=ef, colorfulness=cf)
+
+    return imgs.mapInPandas(run, out_schema)
+
+
 def extract_image_exif(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """EXIF metadata columns from a binary image column: camera
     make/model, orientation, capture time, and the upright (display)

@@ -2483,6 +2483,83 @@ def _sql_image_exif_golden() -> str:
     )
 
 
+_FEAT_N = 240
+
+
+def q_image_features_extract(spark, sf_dir):
+    """Image feature extraction through the real binary path: encode
+    deterministic images, decode them, and compute the curation-filter
+    visual statistics (mean/std luminance, gradient edge fraction,
+    Hasler-Süsstrunk colorfulness) from the pixels — all inside
+    Arrow-batched mapInPandas (operators.multimodal.
+    extract_image_features), zero shuffle.
+
+    Restricted to the PNG-encoded share of the corpus: PNG round-trips
+    losslessly, so decoded pixels equal the generator's pixels EXACTLY
+    and the feature values are hash-comparable (JPEG rows are PSNR
+    >= 40dB close but not bit-equal — they stay covered by the unit
+    suite's tolerance tests). The oracle recomputes features from the
+    generator's raw pixels, never touching the codec — so a PNG
+    encoder/decoder or Arrow-plumbing regression breaks the gate; the
+    feature arithmetic itself is shared with the oracle by design
+    (same contract as synth_image_blob, shared by engine and
+    simulator). sf_dir unused (fixed deterministic corpus)."""
+    from python_crawler_spark.operators.multimodal import (
+        extract_image_features,
+        fetch_and_decode_images,
+    )
+
+    urls = spark.range(_FEAT_N).selectExpr(
+        "concat('http://img.example.invalid/feat/', CAST(id AS STRING), '.bin') AS src"
+    )
+    feat = extract_image_features(fetch_and_decode_images(urls, "src"), "bytes")
+    return feat.filter(F.col("dec_fmt") == "png").select(
+        "src", "w", "h",
+        F.round("mean_lum", 4).alias("mean_lum"),
+        F.round("std_lum", 4).alias("std_lum"),
+        F.round("edge_frac", 4).alias("edge_frac"),
+        F.round("colorfulness", 4).alias("colorfulness"),
+    )
+
+
+def _sql_image_features_golden() -> str:
+    """Golden VALUES oracle for image_features_extract: features of the
+    generator's RAW pixels (synth_image_pixels), rounded exactly as
+    Spark's round(col, 4) — HALF_UP on the binary double (the
+    golden_schedule_sql convention). The Spark side must push the same
+    pixels through PNG encode -> Arrow -> decode and land on identical
+    doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_crawler_spark.functions.hashing import xxhash64
+    from python_crawler_spark.functions.images import image_features
+    from python_crawler_spark.operators.multimodal import synth_image_pixels
+
+    def r4(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    mask = 0x7FFFFFFFFFFFFFFF
+    vals = []
+    for i in range(_FEAT_N):
+        src = f"http://img.example.invalid/feat/{i}.bin"
+        if (xxhash64(src) & mask) % 3 == 0:
+            continue  # JPEG-encoded: lossy, excluded from the exact gate
+        px, _ = synth_image_pixels(src)
+        ml, sl, ef, cf = image_features(px)
+        vals.append(
+            f"('{src}',{px.shape[1]},{px.shape[0]},"
+            f"{r4(ml)!r},{r4(sl)!r},{r4(ef)!r},{r4(cf)!r})"
+        )
+    return (
+        "SELECT src, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, "
+        "CAST(mean_lum AS DOUBLE) AS mean_lum, CAST(std_lum AS DOUBLE) AS std_lum, "
+        "CAST(edge_frac AS DOUBLE) AS edge_frac, "
+        "CAST(colorfulness AS DOUBLE) AS colorfulness FROM (VALUES\n"
+        + ",\n".join(vals)
+        + "\n) AS t(src, w, h, mean_lum, std_lum, edge_frac, colorfulness)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2537,6 +2614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aspect_bucket_stats": q_aspect_bucket_stats,
     "image_exif_extract": q_image_exif_extract,
     "crossmodal_dedup": q_crossmodal_dedup,
+    "image_features_extract": q_image_features_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2591,4 +2669,5 @@ ORACLE_SQL: dict[str, str] = {
     "aspect_bucket_stats": SQL_ASPECT_BUCKET_STATS,
     "image_exif_extract": _sql_image_exif_golden(),
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
+    "image_features_extract": _sql_image_features_golden(),
 }

@@ -159,6 +159,55 @@ def test_crossmodal_caption_edges_are_star_shaped(spark, tmp_path):
     assert set(got.values()) == {10}
 
 
+def test_image_features_semantics_on_known_pixels():
+    """Hand-built pixels pin each statistic: a flat gray image has
+    zero contrast/edges/color; a black-white checkerboard maximizes
+    edge fraction; a pure-red image is maximally colorful for a
+    constant fill."""
+    import numpy as np
+
+    from python_crawler_spark.functions.images import image_features
+
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    ml, sl, ef, cf = image_features(flat)
+    assert abs(ml - 128.0) < 1e-9 and sl == 0.0 and ef == 0.0 and cf == 0.0
+
+    board = np.zeros((16, 16, 3), dtype=np.uint8)
+    board[::2, ::2] = 255
+    board[1::2, 1::2] = 255
+    _, _, ef_b, _ = image_features(board)
+    assert ef_b == 1.0  # every neighbor pair crosses the threshold
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[..., 0] = 200
+    _, _, _, cf_r = image_features(red)
+    # constant fill: stds are 0, colorfulness = 0.3*sqrt(rg^2+yb^2)
+    assert abs(cf_r - 0.3 * (200.0**2 + 100.0**2) ** 0.5) < 1e-9
+
+
+def test_image_features_png_round_trip_is_exact(spark):
+    """The gate's premise: for PNG rows, features computed from bytes
+    after encode->Arrow->decode equal features of the generator's raw
+    pixels to the last bit (pre-rounding)."""
+    from python_crawler_spark.functions.images import image_features
+    from python_crawler_spark.operators.multimodal import (
+        extract_image_features,
+        fetch_and_decode_images,
+        synth_image_pixels,
+    )
+
+    urls = spark.range(24).selectExpr(
+        "concat('http://img.example.invalid/feat/', CAST(id AS STRING), '.bin') AS src"
+    )
+    out = extract_image_features(fetch_and_decode_images(urls, "src"), "bytes")
+    for r in out.filter("dec_fmt = 'png'").collect():
+        px, _ = synth_image_pixels(r["src"])
+        ml, sl, ef, cf = image_features(px)
+        assert (r["mean_lum"], r["std_lum"], r["edge_frac"], r["colorfulness"]) == (
+            ml, sl, ef, cf
+        )
+
+
 # ------------------------------------------------------------ plan shapes
 
 
@@ -189,3 +238,9 @@ def test_image_exif_extract_no_shuffle_bytes_stay_put(spark):
     plan = _plan(QUERIES["image_exif_extract"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas (") == 2  # tree entries only
+
+
+def test_image_features_extract_no_shuffle(spark):
+    plan = _plan(QUERIES["image_features_extract"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 2
