@@ -80,6 +80,49 @@ def synth_image_blob(src_url: str) -> bytes:
     return blob
 
 
+def synth_video_blob(src_url: str) -> bytes:
+    """Deterministic container bytes for a synthetic video URL: frame
+    count (4..15), fps ({10,12,25,30}), dims, and pixel content all
+    derive from xxhash64(url); the CONTAINER cycles by hash over all
+    four native demux paths — AVI/MJPEG, MP4/MJPEG, Matroska/V_MJPEG,
+    and the lossless PCSV test container — so a pipeline over these
+    URLs exercises every real demuxer the repo ships."""
+    from ..functions import matroska as MKV
+    from ..functions import media as MED
+    from ..functions import mp4 as MP4
+
+    h = xxhash64(src_url) & 0x7FFFFFFFFFFFFFFF
+    n = 4 + h % 12
+    fps = (10, 12, 25, 30)[(h >> 8) % 4]
+    w = 8 + (h >> 4) % 24
+    ht = 8 + (h >> 9) % 24
+    rng = np.random.RandomState(h % (2**31))
+    frames = [rng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8) for _ in range(n)]
+    k = (h >> 16) % 4
+    if k == 0:
+        return MED.encode_avi_mjpeg(frames, fps=fps)
+    if k == 1:
+        return MP4.encode_mp4_mjpeg(frames, fps=fps)
+    if k == 2:
+        return MKV.encode_mkv_mjpeg(frames, fps=fps)
+    return MED.encode_video(frames, fps=fps)
+
+
+def fetch_and_decode_videos(videos: DataFrame, src_col: str = "src") -> DataFrame:
+    """video_bytes for each video URL (sandbox: deterministic synth
+    container from the URL; production: the batch HTTP client in the
+    same mapInPandas — the S6/S8 seam)."""
+    out_schema = T.StructType(
+        videos.schema.fields + [T.StructField("video_bytes", T.BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield pdf.assign(video_bytes=[synth_video_blob(s) for s in pdf[src_col]])
+
+    return videos.mapInPandas(run, out_schema)
+
+
 def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     """bytes + (w, h, fmt, phash, small) for each image URL.
 

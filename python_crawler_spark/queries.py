@@ -2560,6 +2560,73 @@ def _sql_image_features_golden() -> str:
     )
 
 
+_VID_N = 24
+_VID_SAMPLES = 3
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling through every real container demuxer: 24
+    deterministic videos whose container cycles by hash over
+    AVI/MJPEG, MP4/MJPEG, Matroska/V_MJPEG, and the lossless PCSV test
+    container; each explodes into 3 evenly spaced frame rows via
+    operators.multimodal.sample_video_frames — lazy demux (sampling 3
+    of F frames never decodes the other F-3), Arrow-batched, zero
+    shuffle, video bytes dropped before the explosion.
+
+    The gate compares the container-independent schedule: frame count,
+    fps (round-tripped through each container's own clock — AVI
+    microseconds-per-frame, MP4 timescale, Matroska default duration
+    ns), sampled frame indices, and decoded frame dims (MJPEG SOF dims
+    are exact). The oracle recomputes all of it from the generator's
+    parameters — never demuxing — so a muxer, demuxer, or frame-walk
+    regression in ANY of the four containers breaks the gate. Frame
+    pixel invariants (PSNR, phash) stay in the unit suite. sf_dir
+    unused (fixed deterministic corpus)."""
+    from python_crawler_spark.operators.multimodal import (
+        fetch_and_decode_videos,
+        sample_video_frames,
+    )
+
+    urls = spark.range(_VID_N).selectExpr(
+        "concat('http://vid.example.invalid/', CAST(id AS STRING), '.bin') AS src"
+    )
+    frames = sample_video_frames(
+        fetch_and_decode_videos(urls, "src"), n_samples=_VID_SAMPLES
+    )
+    return frames.select("src", "n_frames", "fps", "frame_idx", "frame_w", "frame_h")
+
+
+def _sql_video_frames_golden() -> str:
+    """Golden VALUES oracle for video_frame_sample: the frame schedule
+    recomputed from the generator's parameters (synth_video_blob's
+    arithmetic) plus the pure-Python sampling rule
+    (media.sample_frame_indices — shared with the operator by design,
+    like synth_image_blob). The Spark side must round-trip real
+    container bytes (mux -> Arrow -> lazy demux -> JPEG/PNG decode) to
+    match."""
+    from python_crawler_spark.functions.hashing import xxhash64
+    from python_crawler_spark.functions.media import sample_frame_indices
+
+    mask = 0x7FFFFFFFFFFFFFFF
+    vals = []
+    for i in range(_VID_N):
+        src = f"http://vid.example.invalid/{i}.bin"
+        h = xxhash64(src) & mask
+        n = 4 + h % 12
+        fps = (10, 12, 25, 30)[(h >> 8) % 4]
+        w = 8 + (h >> 4) % 24
+        ht = 8 + (h >> 9) % 24
+        for idx in sample_frame_indices(n, _VID_SAMPLES):
+            vals.append(f"('{src}',{n},{fps},{idx},{w},{ht})")
+    return (
+        "SELECT src, CAST(n_frames AS INTEGER) AS n_frames, "
+        "CAST(fps AS INTEGER) AS fps, CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "CAST(frame_w AS INTEGER) AS frame_w, CAST(frame_h AS INTEGER) AS frame_h "
+        "FROM (VALUES\n" + ",\n".join(vals)
+        + "\n) AS t(src, n_frames, fps, frame_idx, frame_w, frame_h)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2615,6 +2682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_exif_extract": q_image_exif_extract,
     "crossmodal_dedup": q_crossmodal_dedup,
     "image_features_extract": q_image_features_extract,
+    "video_frame_sample": q_video_frame_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2670,4 +2738,5 @@ ORACLE_SQL: dict[str, str] = {
     "image_exif_extract": _sql_image_exif_golden(),
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
     "image_features_extract": _sql_image_features_golden(),
+    "video_frame_sample": _sql_video_frames_golden(),
 }

@@ -244,3 +244,37 @@ def test_image_features_extract_no_shuffle(spark):
     plan = _plan(QUERIES["image_features_extract"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas (") == 2
+
+
+def test_video_frame_sample_covers_all_containers(spark):
+    """The 24-URL corpus must actually hit all four demux paths (a
+    hash-cycled corpus that collapsed onto one container would test
+    nothing), and every video contributes exactly 3 frames with the
+    bytes column dropped."""
+    from python_crawler_spark.operators.multimodal import synth_video_blob
+
+    sigs = set()
+    for i in range(24):
+        b = synth_video_blob(f"http://vid.example.invalid/{i}.bin")
+        if b[:4] == b"RIFF":
+            sigs.add("avi")
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            sigs.add("mp4")
+        elif b[:4] == b"\x1aE\xdf\xa3":
+            sigs.add("mkv")
+        else:
+            sigs.add("pcsv")
+    assert sigs == {"avi", "mp4", "mkv", "pcsv"}
+    rows = QUERIES["video_frame_sample"](spark, SF_DIR).collect()
+    assert len(rows) == 72  # 24 videos x 3 sampled frames
+    assert "frame_bytes" not in rows[0].asDict()
+    per = {}
+    for r in rows:
+        per.setdefault(r["src"], []).append(r["frame_idx"])
+    assert all(len(v) == 3 and len(set(v)) == 3 for v in per.values())
+
+
+def test_video_frame_sample_no_shuffle(spark):
+    plan = _plan(QUERIES["video_frame_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 2
