@@ -451,10 +451,13 @@ def encode_wav_ima_adpcm(samples: np.ndarray, rate: int = 16000,
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
-def audio_features(data: bytes) -> dict:
-    """Real feature math over PCM: duration, RMS (dBFS-ish scale),
-    zero-crossing rate, peak amplitude."""
-    rate, pcm = decode_audio(data)
+def pcm_features(rate: int, pcm: np.ndarray) -> dict:
+    """Real feature math over raw int16 PCM: duration, RMS (dBFS-ish
+    scale), zero-crossing rate, peak amplitude. Pure function of
+    (rate, samples) — shared by the bytes path (audio_features) and
+    the audio_features_extract gate's golden oracle, which computes
+    features from the GENERATOR'S samples so only a lossless
+    encode→decode round trip can match it."""
     x = pcm.astype(np.float64) / 32768.0
     n = len(x)
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
@@ -467,3 +470,9 @@ def audio_features(data: bytes) -> dict:
         "zero_cross_rate": zc,
         "peak": float(np.max(np.abs(x))) if n else 0.0,
     }
+
+
+def audio_features(data: bytes) -> dict:
+    """pcm_features over decoded container bytes."""
+    rate, pcm = decode_audio(data)
+    return pcm_features(rate, pcm)

@@ -123,6 +123,54 @@ def fetch_and_decode_videos(videos: DataFrame, src_col: str = "src") -> DataFram
     return videos.mapInPandas(run, out_schema)
 
 
+def synth_audio_samples(src_url: str) -> tuple[int, np.ndarray]:
+    """Deterministic (rate, int16 mono PCM) for a synthetic audio URL:
+    rate, length, and a two-tone sine mix all derive from
+    xxhash64(url). Sine content (not noise) keeps RMS/zero-cross/peak
+    in realistic ranges."""
+    h = xxhash64(src_url) & 0x7FFFFFFFFFFFFFFF
+    rate = (8000, 16000, 22050, 44100)[(h >> 6) % 4]
+    n = rate // 4 + h % 1000
+    t = np.arange(n, dtype=np.float64)
+    f1 = 50.0 + (h >> 10) % 400
+    f2 = 500.0 + (h >> 20) % 3000
+    amp = 0.2 + ((h >> 30) % 60) / 100.0
+    x = amp * (0.7 * np.sin(2 * np.pi * f1 * t / rate) + 0.3 * np.sin(2 * np.pi * f2 * t / rate))
+    return rate, np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+
+
+def synth_audio_blob(src_url: str) -> bytes:
+    """Encoded container bytes for a synthetic audio URL: the
+    container cycles by hash over real WAV (RIFF PCM16), real FLAC
+    (RFC 9639), and the PCSA test container — all LOSSLESS for int16
+    mono, so decoded samples equal the generator's exactly."""
+    from ..functions import flac as FLAC
+    from ..functions import media as MED
+
+    rate, pcm = synth_audio_samples(src_url)
+    k = (xxhash64(src_url) >> 16) % 3
+    if k == 0:
+        return MED.encode_wav(pcm, rate)
+    if k == 1:
+        return FLAC.encode_flac(pcm, rate)
+    return MED.encode_audio(pcm, rate)
+
+
+def fetch_audio(audio: DataFrame, src_col: str = "src") -> DataFrame:
+    """audio_bytes for each audio URL (sandbox: deterministic synth
+    container from the URL; production: the batch HTTP client in the
+    same mapInPandas — the S6/S8 seam)."""
+    out_schema = T.StructType(
+        audio.schema.fields + [T.StructField("audio_bytes", T.BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield pdf.assign(audio_bytes=[synth_audio_blob(s) for s in pdf[src_col]])
+
+    return audio.mapInPandas(run, out_schema)
+
+
 def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     """bytes + (w, h, fmt, phash, small) for each image URL.
 

@@ -2627,6 +2627,73 @@ def _sql_video_frames_golden() -> str:
     )
 
 
+_AUD_N = 24
+
+
+def q_audio_features_extract(spark, sf_dir):
+    """Audio feature extraction through every real lossless audio
+    codec: 24 deterministic two-tone PCM signals whose container
+    cycles by hash over real WAV (RIFF PCM16), real FLAC (RFC 9639 —
+    Rice coding, predictors, CRCs), and the PCSA test container;
+    operators.multimodal.extract_audio_features computes duration /
+    RMS / zero-crossing rate / peak inside Arrow-batched mapInPandas,
+    zero shuffle.
+
+    All three containers are LOSSLESS for int16 mono, so decoded
+    samples equal the generator's exactly and the golden oracle
+    (media.pcm_features over the generator's raw samples,
+    Spark-HALF_UP-rounded 4dp) is hash-exact — a WAV or FLAC
+    encoder/decoder regression breaks the driver gate. sf_dir unused
+    (fixed deterministic corpus)."""
+    from python_crawler_spark.operators.multimodal import (
+        extract_audio_features,
+        fetch_audio,
+    )
+
+    urls = spark.range(_AUD_N).selectExpr(
+        "concat('http://aud.example.invalid/', CAST(id AS STRING), '.bin') AS src"
+    )
+    feats = extract_audio_features(fetch_audio(urls, "src"), "audio_bytes")
+    return feats.select(
+        "src", "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_cross_rate", 4).alias("zero_cross_rate"),
+        F.round("peak", 4).alias("peak"),
+    )
+
+
+def _sql_audio_features_golden() -> str:
+    """Golden VALUES oracle for audio_features_extract: pcm_features
+    over the GENERATOR'S raw samples (synth_audio_samples) — the codec
+    layer is never touched, so only a lossless encode->Arrow->decode
+    round trip on the Spark side can match."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from python_crawler_spark.functions.media import pcm_features
+    from python_crawler_spark.operators.multimodal import synth_audio_samples
+
+    def r4(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    vals = []
+    for i in range(_AUD_N):
+        src = f"http://aud.example.invalid/{i}.bin"
+        rate, pcm = synth_audio_samples(src)
+        f = pcm_features(rate, pcm)
+        vals.append(
+            f"('{src}',{rate},{r4(f['duration_s'])!r},{r4(f['rms'])!r},"
+            f"{r4(f['zero_cross_rate'])!r},{r4(f['peak'])!r})"
+        )
+    return (
+        "SELECT src, CAST(sample_rate AS INTEGER) AS sample_rate, "
+        "CAST(duration_s AS DOUBLE) AS duration_s, CAST(rms AS DOUBLE) AS rms, "
+        "CAST(zero_cross_rate AS DOUBLE) AS zero_cross_rate, "
+        "CAST(peak AS DOUBLE) AS peak FROM (VALUES\n" + ",\n".join(vals)
+        + "\n) AS t(src, sample_rate, duration_s, rms, zero_cross_rate, peak)"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2683,6 +2750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crossmodal_dedup": q_crossmodal_dedup,
     "image_features_extract": q_image_features_extract,
     "video_frame_sample": q_video_frame_sample,
+    "audio_features_extract": q_audio_features_extract,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2739,4 +2807,5 @@ ORACLE_SQL: dict[str, str] = {
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
     "image_features_extract": _sql_image_features_golden(),
     "video_frame_sample": _sql_video_frames_golden(),
+    "audio_features_extract": _sql_audio_features_golden(),
 }

@@ -278,3 +278,38 @@ def test_video_frame_sample_no_shuffle(spark):
     plan = _plan(QUERIES["video_frame_sample"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas (") == 2
+
+
+def test_audio_corpus_covers_all_lossless_containers(spark):
+    """The 24-URL audio corpus must hit WAV, FLAC, and PCSA (a
+    hash-cycled corpus collapsed onto one container would leave the
+    other codecs ungated), and every decode round-trips the
+    generator's samples exactly."""
+    import numpy as np
+
+    from python_crawler_spark.functions.media import decode_audio
+    from python_crawler_spark.operators.multimodal import (
+        synth_audio_blob,
+        synth_audio_samples,
+    )
+
+    sigs = set()
+    for i in range(24):
+        src = f"http://aud.example.invalid/{i}.bin"
+        b = synth_audio_blob(src)
+        if b[:4] == b"RIFF":
+            sigs.add("wav")
+        elif b[:4] == b"fLaC":
+            sigs.add("flac")
+        else:
+            sigs.add("pcsa")
+        rate, pcm = decode_audio(b)
+        grate, gpcm = synth_audio_samples(src)
+        assert rate == grate and np.array_equal(pcm, gpcm)
+    assert sigs == {"wav", "flac", "pcsa"}
+
+
+def test_audio_features_extract_no_shuffle(spark):
+    plan = _plan(QUERIES["audio_features_extract"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 2
