@@ -2272,6 +2272,85 @@ FROM flags
 """
 
 
+def q_clip_alignment_filter(spark, sf_dir):
+    """CLIP-score alignment gate — the core LAION filter (Schuhmann et
+    al. 2022 §3.1: keep pairs with cosine(CLIP(image), CLIP(caption))
+    above a threshold; LAION-400M used 0.3 on real CLIP space). Models
+    the precomputed-embedding-table architecture LAION itself ships
+    (released .npy embedding shards keyed by sample id): the
+    `embeddings` table stands in for the encoder output codebook, and
+    each image/caption resolves its vector by a deterministic md5 key
+    mod the codebook size — both engines share the arithmetic, no
+    external data. Threshold 0.05 because the synthetic vectors are
+    random 64-dim (cosine ~ N(0, 1/8)); real CLIP space uses ~0.28.
+
+    Scale: two equi-joins on an 8-byte key against the embedding
+    table — AQE broadcasts the codebook when it fits and falls back to
+    a shuffled hash join on the unbounded side otherwise (same
+    no-forced-hint contract as unigram_logprob); the codebook size is
+    a broadcast 1-row aggregate, never a driver count(). No window, no
+    cartesian (plan-asserted in tests). At 100 TB the encoder runs
+    inline instead — the zero-shuffle mapInPandas shape of
+    extract_image_features — and this query is then a pure projection;
+    the join form here is the architecture for re-scoring an already
+    embedded corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # codebook size as a broadcast 1-row subquery (vec_id is 0..n-1)
+    nv = emb.agg(F.count("*").alias("_nv"))
+    keys = docs.selectExpr(
+        "doc_id AS image_id",
+        "source",
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':iemb')), 1, 15),"
+        " 16, 10) AS BIGINT) AS hi",
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':cemb')), 1, 15),"
+        " 16, 10) AS BIGINT) AS hc",
+    ).crossJoin(F.broadcast(nv)).selectExpr(
+        "image_id", "source", "hi % _nv AS iv", "hc % _nv AS cv"
+    )
+    a = emb.select(F.col("vec_id").alias("iv"), F.col("embedding").alias("ie"))
+    b = emb.select(F.col("vec_id").alias("cv"), F.col("embedding").alias("ce"))
+    paired = keys.join(a, "iv").join(b, "cv")
+    dot = F.expr(
+        "aggregate(zip_with(ie, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm_i = F.expr(
+        "sqrt(aggregate(ie, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nrm_c = F.expr(
+        "sqrt(aggregate(ce, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    scored = paired.select(
+        "image_id", "source", F.round(dot / (nrm_i * nrm_c), 4).alias("clip_cos")
+    )
+    return scored.withColumn("aligned", F.col("clip_cos") >= 0.05)
+
+
+SQL_CLIP_ALIGNMENT_FILTER = """
+WITH nv AS (SELECT count(*) AS n FROM embeddings),
+keys AS (
+  SELECT doc_id AS image_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':iemb'), 1, 15)) AS BIGINT) % nv.n AS iv,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cemb'), 1, 15)) AS BIGINT) % nv.n AS cv
+  FROM documents, nv
+), pairs AS (
+  SELECT k.image_id, k.source,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM keys k
+  JOIN embeddings a ON a.vec_id = k.iv
+  JOIN embeddings b ON b.vec_id = k.cv
+)
+SELECT image_id, source,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS clip_cos,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) >= 0.05 AS aligned
+FROM pairs GROUP BY image_id, source
+"""
+
+
 _ASPECT_CUTS = (0.4082, 0.6124, 0.8660, 1.1547, 1.6330, 2.4495)
 _ASPECT_NAMES = ("1:3", "1:2", "3:4", "1:1", "4:3", "2:1", "3:1")
 
@@ -2745,6 +2824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "semdedup": q_semdedup,
     "image_caption_filter": q_image_caption_filter,
+    "clip_alignment_filter": q_clip_alignment_filter,
     "aspect_bucket_stats": q_aspect_bucket_stats,
     "image_exif_extract": q_image_exif_extract,
     "crossmodal_dedup": q_crossmodal_dedup,
@@ -2802,6 +2882,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "semdedup": SQL_SEMDEDUP,
     "image_caption_filter": SQL_IMAGE_CAPTION_FILTER,
+    "clip_alignment_filter": SQL_CLIP_ALIGNMENT_FILTER,
     "aspect_bucket_stats": SQL_ASPECT_BUCKET_STATS,
     "image_exif_extract": _sql_image_exif_golden(),
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,

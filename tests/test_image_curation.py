@@ -313,3 +313,57 @@ def test_audio_features_extract_no_shuffle(spark):
     plan = _plan(QUERIES["audio_features_extract"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas (") == 2
+
+
+# -------------------------------------------------- clip_alignment_filter
+
+
+def test_clip_alignment_matches_numpy_recompute(spark):
+    """Re-derive the codebook keys (md5 mod n) and the cosine in plain
+    numpy from the parquet files — pins the key arithmetic and the
+    zip_with/aggregate cosine against an independent implementation."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb_t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vecs = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(emb_t["vec_id"].to_pylist(), emb_t["embedding"].to_pylist())
+    }
+    nv = len(vecs)
+
+    def key(doc_id: int, salt: str) -> int:
+        h = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:15]
+        return int(h, 16) % nv
+
+    rows = QUERIES["clip_alignment_filter"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        iv, cv = key(r["image_id"], "iemb"), key(r["image_id"], "cemb")
+        a, b = vecs[iv], vecs[cv]
+        want = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+        assert abs(r["clip_cos"] - want) <= 1e-4, (r["image_id"], r["clip_cos"], want)
+        assert r["aligned"] == (r["clip_cos"] >= 0.05)
+    # the random-vector corpus must populate both sides of the gate
+    assert {r["aligned"] for r in rows} == {True, False}
+
+
+def test_clip_alignment_plan_no_cartesian_no_forced_codebook_broadcast(spark):
+    """The codebook joins are equi-joins with NO forced broadcast hint
+    (same cardinality contract as unigram_logprob: AQE broadcasts when
+    the table fits, shuffle-joins otherwise); only the 1-row size
+    aggregate is deliberately hinted. With auto-broadcast off, any
+    remaining BroadcastHashJoin would prove a forced hint."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["clip_alignment_filter"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row codebook size
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
