@@ -1088,6 +1088,155 @@ ORDER BY cosine DESC, vec_id LIMIT 5
 """
 
 
+def q_ann_recall_audit(spark, sf_dir):
+    """Recall audit for the ANN scale path — "measure, don't guess"
+    applied to the approximate operator itself: for each of 8 query
+    vectors (vec_id < 8), recall@20 of the IVF single-probe top-k
+    (same centroid scheme as `ivf_ann`: vec_id 1..4 are the coarse
+    centroids) against the brute-force exact top-20. This is the audit
+    every production ANN deployment runs on a sampled query set before
+    trusting the index (FAISS's standard recall@k methodology).
+
+    Engine-agreement contract: ranking keys are the 4dp-rounded cosine
+    with vec_id as the deterministic tie-break, so both engines rank
+    identical keys (the raw-double assignment argmax follows the same
+    accepted pattern as `ivf_ann`). Scale: the corpus is scanned once
+    into (query, candidate) pairs against a broadcast 8-row query set;
+    windows partition by qid (one partition per query — the audit's
+    parallelism is the query-sample size, and production audits sample
+    hundreds of queries, not the corpus); centroid assignment is the
+    same broadcast argmax as `ivf_ann`. No cartesian on the big side,
+    no forced broadcast of anything unbounded."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    def nrm(a):
+        return F.expr(
+            f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+
+    k = 20
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "embedding",
+            F.round(dot("embedding", "qv") / (nrm("embedding") * nrm("qv")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id")
+    )
+    # IVF side: nearest-centroid assignment (vec_id 1..4), single probe
+    cents = emb.filter(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            (dot("embedding", "cv") / (nrm("embedding") * nrm("cv"))).alias("csim"),
+        )
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    qassign = assign.withColumnRenamed("vec_id", "qid").withColumnRenamed(
+        "cid", "qcid"
+    ).filter(F.col("qid") < 8)
+    probed = (
+        pairs.join(assign, "vec_id")
+        .join(F.broadcast(qassign), "qid")
+        .filter(F.col("cid") == F.col("qcid"))
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = exact.join(probed, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+SQL_ANN_RECALL_AUDIT = """
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8
+), pr AS (
+  SELECT q.qid, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qv) AS DOUBLE) AS y
+  FROM embeddings e JOIN qs q ON e.vec_id <> q.qid
+), pairs AS (
+  SELECT qid, vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+  FROM pr GROUP BY qid, vec_id
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+    FROM pairs) WHERE rk <= 20
+), cp AS (
+  SELECT e.vec_id, c.vec_id AS cid,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.embedding) AS DOUBLE) AS y
+  FROM embeddings e JOIN embeddings c ON c.vec_id BETWEEN 1 AND 4
+), csims AS (
+  SELECT vec_id, cid,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS csim
+  FROM cp GROUP BY vec_id, cid
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
+    FROM csims) WHERE rk = 1
+), probed AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, p.vec_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY p.cosine DESC, p.vec_id) AS rk
+    FROM pairs p
+    JOIN assign a ON a.vec_id = p.vec_id
+    JOIN assign qa ON qa.vec_id = p.qid
+    WHERE a.cid = qa.cid) WHERE rk <= 20
+), hits AS (
+  SELECT e.qid, count(*) AS hits
+  FROM exact e JOIN probed b ON e.qid = b.qid AND e.vec_id = b.vec_id
+  GROUP BY e.qid
+)
+SELECT qs.qid,
+       COALESCE(h.hits, 0) AS hits,
+       round(COALESCE(h.hits, 0) / 20.0, 4) AS recall_at_k
+FROM qs LEFT JOIN hits h ON h.qid = qs.qid
+"""
+
+
 _PH_BITS = 60
 _PH_BANDS = 10          # bands > threshold ⇒ pigeonhole-exact recall
 _PH_BAND_BITS = _PH_BITS // _PH_BANDS
@@ -2809,6 +2958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transpose_zip": q_transpose_zip,
     "suffix_edit": q_suffix_edit,
     "ivf_ann": q_ivf_ann,
+    "ann_recall_audit": q_ann_recall_audit,
     "phash_hamming": q_phash_hamming,
     "phash_clusters": q_phash_clusters,
     "token_bpe_count": q_token_bpe_count,
@@ -2867,6 +3017,7 @@ ORACLE_SQL: dict[str, str] = {
     "transpose_zip": SQL_TRANSPOSE_ZIP,
     "suffix_edit": SQL_SUFFIX_EDIT,
     "ivf_ann": SQL_IVF_ANN,
+    "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "phash_hamming": SQL_PHASH_HAMMING,
     "phash_clusters": SQL_PHASH_CLUSTERS,
     "token_bpe_count": SQL_TOKEN_BPE_COUNT,

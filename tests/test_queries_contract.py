@@ -73,3 +73,59 @@ def test_near_dup_joins_are_banded_not_cartesian(spark, name):
     )
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ann_recall_audit_matches_numpy_recompute(spark):
+    """Full independent reimplementation of the recall audit in numpy
+    (exact top-20, centroid assignment, single-probe top-20, recall)
+    — pins the ranking keys (4dp round + vec_id tie-break) and the
+    probe semantics end to end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    V = {int(i): np.asarray(e, dtype=np.float64)
+         for i, e in zip(ids, t["embedding"].to_pylist())}
+    k = 20
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = {c: V[c] for c in (1, 2, 3, 4)}
+    assign = {
+        v: max(cents, key=lambda c: (cos(V[v], cents[c]), -c)) for v in V
+    }
+
+    def topk(qid, pool):
+        scored = sorted(
+            ((round(cos(V[v], V[qid]), 4), -v) for v in pool if v != qid),
+            reverse=True,
+        )[:k]
+        return {-nv for _, nv in scored}
+
+    want = {}
+    for qid in range(8):
+        exact = topk(qid, V.keys())
+        probe = topk(qid, [v for v in V if assign[v] == assign[qid]])
+        want[qid] = len(exact & probe)
+
+    rows = {r["qid"]: r for r in QUERIES["ann_recall_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == set(range(8))
+    for qid, r in rows.items():
+        assert r["hits"] == want[qid], (qid, r["hits"], want[qid])
+        assert abs(r["recall_at_k"] - want[qid] / k) < 1e-9
+        assert 0 <= r["recall_at_k"] <= 1
+
+
+def test_ann_recall_audit_plan_no_cartesian(spark):
+    """The corpus side never goes nested-loop against anything
+    unbounded: the only non-equi joins are against the broadcast 8-row
+    query set and 4-row centroid set (BroadcastNestedLoopJoin over a
+    bounded broadcast is the intended argmax/pair shape, same as
+    ivf_ann); no CartesianProduct anywhere."""
+    df = QUERIES["ann_recall_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
