@@ -2788,6 +2788,100 @@ def _sql_image_features_golden() -> str:
     )
 
 
+_THUMB_N = 240
+_THUMB_MAX_SIDE = 16
+
+
+def q_image_resize_extract(spark, sf_dir):
+    """Training-pipeline thumbnail stage through the real binary path:
+    fetch -> decode -> aspect-preserving bilinear downscale to
+    max_side=16 -> lossless PNG re-encode (operators.multimodal.
+    resize_images), then a verify stage decodes the re-encoded
+    thumbnail back and digests its raw pixels (crc32) — so the gate
+    pins decode -> resize math -> encode -> decode, end to end, on
+    every row. All stages are Arrow-batched mapInPandas with zero
+    shuffle; bytes never leave the executor (the 100-TB preprocessing
+    shape: resize is the canonical map-only stage, per-core img/s
+    multiplies by executor count).
+
+    Restricted to the PNG share of the corpus (lossless: decoded
+    pixels equal the generator's bit-for-bit, making the thumbnail crc
+    deterministic; JPEG rows stay covered by the unit suite's PSNR
+    tolerance). The oracle recomputes thumbnail dims + resized-pixel
+    crc from the GENERATOR'S raw pixels — the resize arithmetic is
+    shared by design (same contract as image_features_extract), the
+    codecs and Arrow plumbing are not: a PNG encoder/decoder or
+    round-trip regression breaks the driver gate. sf_dir unused
+    (fixed deterministic corpus). Reference analog: the re-host
+    image pipeline, weixin_public.py:310-373."""
+    import zlib
+
+    from python_crawler_spark.functions import images as IMG
+    from python_crawler_spark.operators.multimodal import (
+        fetch_and_decode_images,
+        resize_images,
+    )
+
+    urls = spark.range(_THUMB_N).selectExpr(
+        "concat('http://img.example.invalid/thumb/', CAST(id AS STRING), '.bin') AS src"
+    )
+    th = resize_images(
+        fetch_and_decode_images(urls, "src").filter(F.col("dec_fmt") == "png"),
+        max_side=_THUMB_MAX_SIDE,
+    )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        th.schema.fields + [T.StructField("thumb_crc", T.LongType())]
+    )
+
+    def digest(batches):
+        for pdf in batches:
+            crcs = []
+            for tb in pdf["thumb_bytes"]:
+                _w, _h, _fmt, px = IMG.decode_image(bytes(tb))
+                crcs.append(zlib.crc32(px.tobytes()))
+            yield pdf.assign(thumb_crc=crcs)
+
+    return th.mapInPandas(digest, out_schema).select(
+        "src", "w", "h", "thumb_w", "thumb_h", "thumb_crc"
+    )
+
+
+def _sql_image_resize_golden() -> str:
+    """Golden VALUES oracle for image_resize_extract: thumbnail dims +
+    crc32 of the bilinear-resized pixels, recomputed from the
+    generator's RAW pixels (synth_image_pixels -> thumbnail_dims ->
+    resize_bilinear) — never from bytes. The Spark side must push the
+    same pixels through PNG encode -> Arrow -> decode -> resize ->
+    PNG encode -> decode and land on an identical pixel digest."""
+    import zlib
+
+    from python_crawler_spark.functions import images as IMG
+    from python_crawler_spark.functions.hashing import xxhash64
+    from python_crawler_spark.operators.multimodal import synth_image_pixels
+
+    mask = 0x7FFFFFFFFFFFFFFF
+    vals = []
+    for i in range(_THUMB_N):
+        src = f"http://img.example.invalid/thumb/{i}.bin"
+        if (xxhash64(src) & mask) % 3 == 0:
+            continue  # JPEG-encoded: lossy, excluded from the exact gate
+        px, _ = synth_image_pixels(src)
+        h, w = px.shape[:2]
+        th_, tw = IMG.thumbnail_dims(h, w, _THUMB_MAX_SIDE)
+        crc = zlib.crc32(IMG.resize_bilinear(px, th_, tw).tobytes())
+        vals.append(f"('{src}',{w},{h},{tw},{th_},{crc})")
+    return (
+        "SELECT src, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, "
+        "CAST(thumb_w AS INTEGER) AS thumb_w, CAST(thumb_h AS INTEGER) AS thumb_h, "
+        "CAST(thumb_crc AS BIGINT) AS thumb_crc FROM (VALUES\n"
+        + ",\n".join(vals)
+        + "\n) AS t(src, w, h, thumb_w, thumb_h, thumb_crc)"
+    )
+
+
 _VID_N = 24
 _VID_SAMPLES = 3
 
@@ -2979,6 +3073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_exif_extract": q_image_exif_extract,
     "crossmodal_dedup": q_crossmodal_dedup,
     "image_features_extract": q_image_features_extract,
+    "image_resize_extract": q_image_resize_extract,
     "video_frame_sample": q_video_frame_sample,
     "audio_features_extract": q_audio_features_extract,
 }
@@ -3038,6 +3133,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_exif_extract": _sql_image_exif_golden(),
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
     "image_features_extract": _sql_image_features_golden(),
+    "image_resize_extract": _sql_image_resize_golden(),
     "video_frame_sample": _sql_video_frames_golden(),
     "audio_features_extract": _sql_audio_features_golden(),
 }

@@ -246,6 +246,65 @@ def test_image_features_extract_no_shuffle(spark):
     assert plan.count("MapInPandas (") == 2
 
 
+def test_thumbnail_dims_never_upscale_and_preserve_aspect():
+    """Resize-stage dimension contract: the longer side lands exactly
+    on max_side (when downscaling), aspect is preserved to rounding,
+    small images pass through untouched, and a degenerate 1-px strip
+    never collapses to zero."""
+    from python_crawler_spark.functions.images import thumbnail_dims
+
+    assert thumbnail_dims(10, 10, 16) == (10, 10)  # never upscales
+    assert thumbnail_dims(32, 16, 16) == (16, 8)
+    assert thumbnail_dims(16, 32, 16) == (8, 16)
+    th, tw = thumbnail_dims(48, 7, 16)
+    assert th == 16 and tw == max(1, round(7 * 16 / 48))
+    assert thumbnail_dims(1000, 1, 16) == (16, 1)  # floor at 1
+
+
+def test_image_resize_png_round_trip_is_exact(spark):
+    """The gate's premise: for PNG rows, the thumbnail decoded back
+    from the re-encoded bytes equals resize_bilinear of the
+    generator's raw pixels bit-for-bit."""
+    import numpy as np
+
+    from python_crawler_spark.functions.images import (
+        decode_image,
+        resize_bilinear,
+        thumbnail_dims,
+    )
+    from python_crawler_spark.operators.multimodal import (
+        fetch_and_decode_images,
+        resize_images,
+        synth_image_pixels,
+    )
+
+    urls = spark.range(24).selectExpr(
+        "concat('http://img.example.invalid/thumb/', CAST(id AS STRING), '.bin') AS src"
+    )
+    out = resize_images(
+        fetch_and_decode_images(urls, "src").filter("dec_fmt = 'png'"),
+        max_side=16,
+    )
+    rows = out.collect()
+    assert rows  # the 24-URL slice must contain PNGs
+    for r in rows:
+        px, _ = synth_image_pixels(r["src"])
+        th, tw = thumbnail_dims(px.shape[0], px.shape[1], 16)
+        assert (r["thumb_w"], r["thumb_h"]) == (tw, th)
+        _w, _h, fmt, got = decode_image(bytes(r["thumb_bytes"]))
+        assert fmt == "png"
+        assert np.array_equal(got, resize_bilinear(px, th, tw))
+
+
+def test_image_resize_extract_no_shuffle(spark):
+    """Thumbnailing is the canonical map-only preprocessing stage:
+    range -> fetch/decode -> resize -> digest, three Arrow stages,
+    zero Exchange."""
+    plan = _plan(QUERIES["image_resize_extract"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 3
+
+
 def test_video_frame_sample_covers_all_containers(spark):
     """The 24-URL corpus must actually hit all four demux paths (a
     hash-cycled corpus that collapsed onto one container would test
