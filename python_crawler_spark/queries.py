@@ -2558,6 +2558,147 @@ FROM bucketed GROUP BY bucket
 """
 
 
+_N_SHARDS = 32
+
+
+def q_shard_pack(spark, sf_dir):
+    """WebDataset-style output shard packing audit — the WRITE stage of
+    a 100-TB curation pipeline (webdataset/tar shards; Gadre et al.
+    2023 ship DataComp exactly this way). Every image+caption row is
+    assigned a shard by a deterministic content-independent hash
+    (md5(image_id||':shard') mod n_shards — the distributed-friendly
+    alternative to sequential tar packing, which would serialize the
+    write), then per shard: item count, total bytes, largest item, and
+    a packing-skew audit — shard_bytes over the mean shard size, with
+    shards >20% above the mean flagged oversized (the check an
+    operator runs before fixing shard count for a target shard size).
+
+    Scale: one map-side-combinable groupBy on the n_shards-value key
+    (n_shards rows cross the wire per partition) + a broadcast 1-row
+    mean — never a driver count(); the skew audit is exactly how the
+    writer decides to re-salt before `.repartition(n_shards,
+    "shard")`-and-write. Reference analog: the per-batch file sinks,
+    weixin_public.py:245-255."""
+    img = _image_pairs(_t(spark, sf_dir, "documents"))
+    sharded = img.selectExpr(
+        "image_id",
+        "n_bytes",
+        "CAST(conv(substring(md5(concat(CAST(image_id AS STRING), ':shard')),"
+        f" 1, 15), 16, 10) AS BIGINT) % {_N_SHARDS} AS shard",
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.max("n_bytes").alias("max_item_bytes"),
+    )
+    mean = per.agg(F.avg("shard_bytes").alias("_mean"))
+    return per.crossJoin(F.broadcast(mean)).selectExpr(
+        "shard",
+        "n_items",
+        "shard_bytes",
+        "max_item_bytes",
+        "round(shard_bytes / _mean, 4) AS skew_ratio",
+        "round(shard_bytes / _mean, 4) > 1.2 AS oversized",
+    )
+
+
+SQL_SHARD_PACK = f"""
+WITH {_IMG_PAIRS_CTE}, sharded AS (
+  SELECT image_id, n_bytes,
+         CAST(('0x' || substr(md5(CAST(image_id AS VARCHAR) || ':shard'), 1, 15)) AS BIGINT)
+           % {_N_SHARDS} AS shard
+  FROM imgs
+), per AS (
+  SELECT shard, count(*) AS n_items,
+         CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+         max(n_bytes) AS max_item_bytes
+  FROM sharded GROUP BY shard
+), m AS (SELECT avg(shard_bytes) AS _mean FROM per)
+SELECT shard, n_items, shard_bytes, max_item_bytes,
+       round(shard_bytes / _mean, 4) AS skew_ratio,
+       round(shard_bytes / _mean, 4) > 1.2 AS oversized
+FROM per, m
+"""
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/val split leakage audit — the contamination check a
+    training pipeline runs AFTER splitting: a validation document
+    whose near-duplicate sits in train silently inflates eval. Split
+    assignment is a deterministic 5% hash (md5(doc_id||':split') mod
+    20 — content-independent, so re-runs and late-arriving shards land
+    in the same split); near-duplicate identity is the MinHash
+    full-signature bucket from minhash_near_dup (docs agreeing on all
+    4 min-hashes). A val doc is `leaked` iff some TRAIN doc shares its
+    signature — val-val duplicates are fine (they never cross the
+    split). Val docs with no words carry no signature and are
+    unleaked by definition (NULL keys never match).
+
+    Scale: the signature groupBy is map-side combinable; the audit
+    join is an equi-join on the 4-hash key against the DISTINCT train
+    signature set (never doc x doc); the val side is 5% of the corpus
+    by construction. No window, no cartesian. The same shape audits
+    decontamination (benchmark vs train) — see decontaminate for the
+    n-gram-overlap variant."""
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+        " ':split')), 1, 15), 16, 10) AS BIGINT) % 20 = 0"
+        " THEN 'val' ELSE 'train' END AS split",
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("w")))).alias(f"mh{i}")
+            for i in range(4)
+        ]
+    )
+    s = sig.join(split, "doc_id")
+    keys = ["mh0", "mh1", "mh2", "mh3"]
+    train_sigs = (
+        s.filter(F.col("split") == "train")
+        .select(*keys)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    val = split.filter(F.col("split") == "val").join(sig, "doc_id", "left")
+    return val.join(train_sigs, keys, "left").select(
+        "doc_id", F.coalesce("_hit", F.lit(False)).alias("leaked")
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = """
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT)
+                % 20 = 0 THEN 'val' ELSE 'train' END AS split
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), sig AS (
+  SELECT doc_id,
+         min(md5('0' || w)) AS mh0, min(md5('1' || w)) AS mh1,
+         min(md5('2' || w)) AS mh2, min(md5('3' || w)) AS mh3
+  FROM words WHERE w <> '' GROUP BY doc_id
+), s AS (
+  SELECT sig.*, split.split FROM sig JOIN split USING (doc_id)
+), train_sigs AS (
+  SELECT DISTINCT mh0, mh1, mh2, mh3, TRUE AS _hit FROM s WHERE split = 'train'
+), val AS (
+  SELECT sp.doc_id, g.mh0, g.mh1, g.mh2, g.mh3
+  FROM split sp LEFT JOIN sig g USING (doc_id)
+  WHERE sp.split = 'val'
+)
+SELECT v.doc_id, coalesce(t._hit, FALSE) AS leaked
+FROM val v
+LEFT JOIN train_sigs t
+  ON v.mh0 = t.mh0 AND v.mh1 = t.mh1 AND v.mh2 = t.mh2 AND v.mh3 = t.mh3
+"""
+
+
 def q_crossmodal_dedup(spark, sf_dir):
     """Cross-modal dedup — the LAION-style union of both dedup
     modalities over the image+caption corpus: two images are
@@ -3070,6 +3211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_caption_filter": q_image_caption_filter,
     "clip_alignment_filter": q_clip_alignment_filter,
     "aspect_bucket_stats": q_aspect_bucket_stats,
+    "shard_pack": q_shard_pack,
+    "split_leakage_audit": q_split_leakage_audit,
     "image_exif_extract": q_image_exif_extract,
     "crossmodal_dedup": q_crossmodal_dedup,
     "image_features_extract": q_image_features_extract,
@@ -3130,6 +3273,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_caption_filter": SQL_IMAGE_CAPTION_FILTER,
     "clip_alignment_filter": SQL_CLIP_ALIGNMENT_FILTER,
     "aspect_bucket_stats": SQL_ASPECT_BUCKET_STATS,
+    "shard_pack": SQL_SHARD_PACK,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "image_exif_extract": _sql_image_exif_golden(),
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
     "image_features_extract": _sql_image_features_golden(),

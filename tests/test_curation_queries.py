@@ -328,3 +328,74 @@ def test_semdedup_plan_broadcast_codebook_equi_cluster_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # cluster join
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_pack_conserves_items_and_flags_consistently(spark):
+    """Every item lands in exactly one of the 32 shards (counts
+    conserve vs the corpus), and the oversized flag is exactly the
+    >1.2x-of-mean predicate on the emitted skew ratio."""
+    rows = QUERIES["shard_pack"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_items"] for r in rows) == n_docs
+    assert all(0 <= r["shard"] < 32 for r in rows)
+    mean = sum(r["shard_bytes"] for r in rows) / len(rows)
+    for r in rows:
+        assert abs(r["skew_ratio"] - r["shard_bytes"] / mean) < 1e-3
+        assert r["oversized"] == (r["skew_ratio"] > 1.2)
+
+
+def test_shard_pack_plan_partial_agg_broadcast_mean(spark):
+    """Shard rollup aggregates map-side (n_shards rows per partition
+    cross the wire); the mean joins as a broadcast single row — never
+    a driver count(), never a cartesian over data."""
+    plan = _plan(QUERIES["shard_pack"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "Partial" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row mean, by design
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_leakage_audit_semantics(spark, tmp_path):
+    """Hand-built corpus: a val doc duplicated in train is leaked; a
+    val doc whose only duplicate is another val doc is NOT (val-val
+    never crosses the split); unique and empty-text val docs are
+    unleaked (no signature => no match)."""
+    import hashlib
+
+    def split_of(i: int) -> str:
+        h = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:15], 16)
+        return "val" if h % 20 == 0 else "train"
+
+    val_ids = [i for i in range(400) if split_of(i) == "val"][:4]
+    train_ids = [i for i in range(400) if split_of(i) == "train"][:2]
+    assert len(val_ids) == 4 and len(train_ids) == 2
+    leaked_text = "alpha beta gamma delta"
+    valdup_text = "epsilon zeta eta theta"
+    rows = [
+        (val_ids[0], leaked_text, "en", "s", 0),    # dup in train -> leaked
+        (val_ids[1], valdup_text, "en", "s", 0),    # dup only in val
+        (val_ids[2], valdup_text, "en", "s", 0),    # dup only in val
+        (val_ids[3], "", "en", "s", 0),             # empty: no signature
+        (train_ids[0], leaked_text, "en", "s", 0),
+        (train_ids[1], "iota kappa lambda mu", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["leaked"]
+        for r in QUERIES["split_leakage_audit"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(val_ids)  # exactly the val slice gets a verdict
+    assert got[val_ids[0]] is True
+    assert got[val_ids[1]] is False and got[val_ids[2]] is False
+    assert got[val_ids[3]] is False
+
+
+def test_split_leakage_plan_equi_joins_only(spark):
+    """The audit joins on the 4-hash signature key — equi-joins only,
+    never doc x doc, no Python stage."""
+    plan = _plan(QUERIES["split_leakage_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
