@@ -201,40 +201,52 @@ def _assemble_ifd(endian: str, fields, ifd_off: int, heap_off: int):
 
 def build_exif(fields: dict, byte_order: str = "<") -> bytes:
     """Field dict -> TIFF/EXIF bytes (no APP1 prefix). Top-level keys
-    go to IFD0; a nested dict under 'Exif' goes to the Exif sub-IFD.
+    go to IFD0; nested dicts under 'Exif'/'GPS' go to the Exif/GPS
+    sub-IFDs (pointer tags 0x8769/0x8825 are emitted automatically).
     Keys are tag names from TAG_NAMES or raw ints; values map to TIFF
     types by python type (str->ASCII, int->SHORT/LONG, (n,d)->RATIONAL,
-    bytes->UNDEFINED)."""
+    [(n,d),...]->RATIONAL array, bytes->UNDEFINED)."""
     endian = byte_order
     if endian not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
     exif_fields = fields.get("Exif") or {}
+    gps_fields = fields.get("GPS") or {}
 
     def enc(d: dict):
         return [
             _encode_field(endian, _NAME_TO_TAG.get(k, k) if isinstance(k, str) else k, v)
             for k, v in d.items()
-            if k != "Exif"
+            if k not in ("Exif", "GPS")
         ]
 
     f0 = enc(fields)
     f1 = enc(exif_fields)
+    f2 = enc(gps_fields)
     ifd0_off = 8
-    # IFD0 gains the ExifIFDPointer entry when a sub-IFD exists
-    n0 = len(f0) + (1 if f1 else 0)
+    # IFD0 gains a pointer entry per sub-IFD present
+    n0 = len(f0) + (1 if f1 else 0) + (1 if f2 else 0)
     ifd0_size = 2 + 12 * n0 + 4
     exif_off = ifd0_off + ifd0_size
     exif_size = (2 + 12 * len(f1) + 4) if f1 else 0
-    heap_off = exif_off + exif_size
+    gps_off = exif_off + exif_size
+    gps_size = (2 + 12 * len(f2) + 4) if f2 else 0
+    heap_off = gps_off + gps_size
     if f1:
         f0 = f0 + [(0x8769, 4, 1, struct.pack(f"{endian}I", exif_off))]
-    # two-pass: heap0 sits first, heap1 after it
+    if f2:
+        f0 = f0 + [(0x8825, 4, 1, struct.pack(f"{endian}I", gps_off))]
+    # sequential heaps: heap0, then heap1, then heap2
     body0, heap0 = _assemble_ifd(endian, f0, ifd0_off, heap_off)
     body1, heap1 = (b"", b"")
     if f1:
         body1, heap1 = _assemble_ifd(endian, f1, exif_off, heap_off + len(heap0))
+    body2, heap2 = (b"", b"")
+    if f2:
+        body2, heap2 = _assemble_ifd(
+            endian, f2, gps_off, heap_off + len(heap0) + len(heap1)
+        )
     header = (b"II" if endian == "<" else b"MM") + struct.pack(f"{endian}HI", 42, 8)
-    return header + body0 + body1 + heap0 + heap1
+    return header + body0 + body1 + body2 + heap0 + heap1 + heap2
 
 
 # ------------------------------------------------------------ JPEG splice
@@ -253,6 +265,35 @@ def insert_exif_jpeg(jpeg: bytes, tiff_payload: bytes) -> bytes:
         raise ValueError("EXIF payload exceeds APP1 segment capacity")
     seg = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
     return jpeg[:pos] + seg + jpeg[pos:]
+
+
+def remove_exif_jpeg(jpeg: bytes) -> bytes:
+    """Drop the APP1 Exif segment from a JPEG (no-op when absent).
+    Pixel data and every other segment are byte-preserved — the
+    inverse of :func:`insert_exif_jpeg`."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: metadata zone over
+            break
+        ln = int.from_bytes(jpeg[pos + 2 : pos + 4], "big")
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == EXIF_HEADER:
+            return jpeg[:pos] + jpeg[pos + 2 + ln :]
+        pos += 2 + ln
+    return jpeg
+
+
+def strip_gps(fields: dict) -> tuple[dict, bool]:
+    """(fields without the GPS sub-IFD or its pointer, had_gps). Pure
+    dict transform over :func:`parse_exif` output; pair with
+    :func:`build_exif` to re-emit a scrubbed stream."""
+    had = "GPS" in fields or "GPSIFDPointer" in fields
+    clean = {
+        k: v for k, v in fields.items() if k not in ("GPS", "GPSIFDPointer")
+    }
+    return clean, had
 
 
 def extract_exif_jpeg(jpeg: bytes) -> bytes | None:

@@ -441,3 +441,73 @@ def extract_image_exif(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             )
 
     return imgs.mapInPandas(run, out_schema)
+
+def synth_geotagged_blob(src_url: str) -> bytes:
+    """Corpus generator for the GPS-scrub gate: like synth_image_blob
+    but EVERY url encodes as JPEG with EXIF, and a deterministic half
+    (by hash parity) additionally carries a GPS sub-IFD with
+    deterministic coordinates — the PII case the scrub must remove.
+    Query-local fixture (the e2e crawl keeps synth_image_blob, whose
+    EXIF is GPS-free, in lockstep with the sequential simulator)."""
+    px, _ = synth_image_pixels(src_url)
+    blob = IMG.encode_image(px, "jpeg")
+    h = xxhash64("exif:" + src_url) & 0x7FFFFFFFFFFFFFFF
+    fields: dict = {
+        "Make": "SynthCam",
+        "Model": f"SC-{h % 100}",
+        "Orientation": 1 + h % 8,
+        "Exif": {
+            "PixelXDimension": int(px.shape[1]),
+            "PixelYDimension": int(px.shape[0]),
+        },
+    }
+    if h % 2 == 0:
+        fields["GPS"] = {
+            "GPSLatitudeRef": "N" if h % 4 == 0 else "S",
+            "GPSLatitude": [(h % 90, 1), ((h >> 7) % 60, 1), ((h >> 13) % 60, 1)],
+            "GPSLongitudeRef": "E" if h % 8 < 4 else "W",
+            "GPSLongitude": [((h >> 3) % 180, 1), ((h >> 9) % 60, 1), ((h >> 15) % 60, 1)],
+        }
+    return EXIF.insert_exif_jpeg(blob, EXIF.build_exif(fields))
+
+
+def scrub_exif_gps(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Privacy scrub over a binary image column — the image twin of
+    pii_scrub: strip the GPS sub-IFD (and its IFD0 pointer) from every
+    JPEG's EXIF while preserving all other metadata and the pixel data
+    byte-for-byte (the compressed scan is never re-encoded). Adds
+    `scrubbed_bytes` and `had_gps`; non-JPEG rows and JPEGs without
+    EXIF pass through untouched with had_gps=false.
+
+    Arrow-batched mapInPandas, zero shuffle — the 100-TB shape: the
+    scrub is a pure per-blob byte transform, so per-core rows/s
+    multiplies by executor count. A production pipeline runs it
+    between fetch and sink so raw GPS never lands in the corpus."""
+    out_schema = T.StructType(
+        imgs.schema.fields
+        + [
+            T.StructField("scrubbed_bytes", T.BinaryType()),
+            T.StructField("had_gps", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            blobs, flags = [], []
+            for blob in pdf[bytes_col]:
+                b = bytes(blob)
+                had = False
+                out = b
+                if b[:2] == b"\xff\xd8":
+                    tiff = EXIF.extract_exif_jpeg(b)
+                    if tiff is not None:
+                        clean, had = EXIF.strip_gps(EXIF.parse_exif(tiff))
+                        if had:
+                            out = EXIF.insert_exif_jpeg(
+                                EXIF.remove_exif_jpeg(b), EXIF.build_exif(clean)
+                            )
+                blobs.append(out)
+                flags.append(had)
+            yield pdf.assign(scrubbed_bytes=blobs, had_gps=flags)
+
+    return imgs.mapInPandas(run, out_schema)

@@ -2852,6 +2852,103 @@ def _sql_image_exif_golden() -> str:
     )
 
 
+_GPS_N = 240
+
+
+def q_exif_gps_scrub(spark, sf_dir):
+    """GPS privacy scrub through the real binary path — the image twin
+    of pii_scrub (LAION-5B post-release PII handling; any public
+    image corpus must strip location EXIF before training): 240
+    deterministic JPEGs, half carrying a GPS sub-IFD, pushed through
+    operators.multimodal.scrub_exif_gps (parse -> drop GPS IFD +
+    pointer -> rebuild -> re-splice; compressed pixel scan untouched),
+    then a verify stage RE-PARSES the scrubbed bytes independently —
+    the gate pins that GPS is gone while make/orientation survive, on
+    every row, against generator-parameter golden rows (a codec,
+    builder, or splice regression breaks the driver gate, not just
+    the unit suite).
+
+    All three stages are Arrow-batched mapInPandas with zero shuffle
+    (plan-asserted) — the 100-TB scrub shape: pure per-blob byte
+    transform between fetch and sink, per-core rows/s multiplies by
+    executor count. sf_dir unused (fixed deterministic corpus)."""
+    from pyspark.sql import types as T
+
+    from python_crawler_spark.functions import exif as EXIF
+    from python_crawler_spark.operators.multimodal import (
+        scrub_exif_gps,
+        synth_geotagged_blob,
+    )
+
+    urls = spark.range(_GPS_N).selectExpr(
+        "concat('http://img.example.invalid/gps/', CAST(id AS STRING), '.bin') AS src"
+    )
+
+    fetch_schema = T.StructType(
+        urls.schema.fields + [T.StructField("bytes", T.BinaryType())]
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            yield pdf.assign(bytes=[synth_geotagged_blob(s) for s in pdf["src"]])
+
+    scrubbed = scrub_exif_gps(urls.mapInPandas(fetch, fetch_schema), "bytes")
+
+    verify_schema = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("had_gps", T.BooleanType()),
+            T.StructField("gps_after", T.BooleanType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("orientation", T.IntegerType()),
+        ]
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            gps_after, makes, orients = [], [], []
+            for blob in pdf["scrubbed_bytes"]:
+                meta = EXIF.parse_exif(EXIF.extract_exif_jpeg(bytes(blob)))
+                gps_after.append("GPS" in meta or "GPSIFDPointer" in meta)
+                makes.append(meta.get("Make"))
+                orients.append(meta.get("Orientation"))
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"],
+                    "had_gps": pdf["had_gps"],
+                    "gps_after": gps_after,
+                    "make": makes,
+                    "orientation": pd.array(orients, dtype="Int32"),
+                }
+            )
+
+    return scrubbed.mapInPandas(verify, verify_schema)
+
+
+def _sql_exif_gps_scrub_golden() -> str:
+    """Golden VALUES oracle for exif_gps_scrub, recomputed from the
+    generator's parameters (synth_geotagged_blob's hash rules) — never
+    from bytes: had_gps is the hash-parity rule, gps_after must be
+    FALSE everywhere, make/orientation must survive the rebuild."""
+    from python_crawler_spark.functions.hashing import xxhash64
+
+    mask = 0x7FFFFFFFFFFFFFFF
+    vals = []
+    for i in range(_GPS_N):
+        src = f"http://img.example.invalid/gps/{i}.bin"
+        h = xxhash64("exif:" + src) & mask
+        had = "TRUE" if h % 2 == 0 else "FALSE"
+        vals.append(f"('{src}',{had},FALSE,'SynthCam',{1 + h % 8})")
+    return (
+        "SELECT src, had_gps, gps_after, make, "
+        "CAST(orientation AS INTEGER) AS orientation FROM (VALUES\n"
+        + ",\n".join(vals)
+        + "\n) AS t(src, had_gps, gps_after, make, orientation)"
+    )
+
+
 _FEAT_N = 240
 
 
@@ -3214,6 +3311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": q_shard_pack,
     "split_leakage_audit": q_split_leakage_audit,
     "image_exif_extract": q_image_exif_extract,
+    "exif_gps_scrub": q_exif_gps_scrub,
     "crossmodal_dedup": q_crossmodal_dedup,
     "image_features_extract": q_image_features_extract,
     "image_resize_extract": q_image_resize_extract,
@@ -3276,6 +3374,7 @@ ORACLE_SQL: dict[str, str] = {
     "shard_pack": SQL_SHARD_PACK,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "image_exif_extract": _sql_image_exif_golden(),
+    "exif_gps_scrub": _sql_exif_gps_scrub_golden(),
     "crossmodal_dedup": SQL_CROSSMODAL_DEDUP,
     "image_features_extract": _sql_image_features_golden(),
     "image_resize_extract": _sql_image_resize_golden(),

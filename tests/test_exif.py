@@ -132,6 +132,91 @@ def test_extract_image_exif_operator(spark):
         assert r["exif_make"] is None and r["exif_orientation"] is None
 
 
+GPS_FIELDS = {
+    "Make": "SynthCam",
+    "Orientation": 3,
+    "GPS": {
+        "GPSLatitudeRef": "N",
+        "GPSLatitude": [(37, 1), (46, 1), (30, 1)],
+        "GPSLongitudeRef": "W",
+        "GPSLongitude": [(122, 1), (25, 1), (10, 1)],
+    },
+    "Exif": {"PixelXDimension": 64, "PixelYDimension": 32},
+}
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_gps_sub_ifd_round_trip(bo):
+    """build_exif emits a GPS sub-IFD (pointer 0x8825) that parse_exif
+    reads back field-exact, alongside IFD0 and the Exif sub-IFD."""
+    got = E.parse_exif(E.build_exif(GPS_FIELDS, bo))
+    assert got["Make"] == "SynthCam" and got["Orientation"] == 3
+    assert got["GPS"]["GPSLatitudeRef"] == "N"
+    assert got["GPS"]["GPSLatitude"] == [(37, 1), (46, 1), (30, 1)]
+    assert got["GPS"]["GPSLongitudeRef"] == "W"
+    assert got["Exif"]["PixelXDimension"] == 64
+
+
+def test_strip_gps_and_remove_segment():
+    """strip_gps drops exactly the GPS keys; remove_exif_jpeg excises
+    the APP1 segment byte-exactly (splice inverse); the full scrub
+    (parse -> strip -> rebuild -> re-splice) leaves pixels and the
+    remaining metadata intact and is idempotent."""
+    clean, had = E.strip_gps(E.parse_exif(E.build_exif(GPS_FIELDS)))
+    assert had and "GPS" not in clean and clean["Make"] == "SynthCam"
+    _, had2 = E.strip_gps(clean)
+    assert not had2  # idempotent flag
+
+    px = np.random.RandomState(9).randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    jb = J.encode_jpeg(px)
+    jb_exif = E.insert_exif_jpeg(jb, E.build_exif(GPS_FIELDS))
+    assert E.remove_exif_jpeg(jb_exif) == jb  # exact splice inverse
+    assert E.remove_exif_jpeg(jb) == jb  # no-op without the segment
+
+    scrubbed = E.insert_exif_jpeg(
+        E.remove_exif_jpeg(jb_exif), E.build_exif(clean)
+    )
+    meta = E.parse_exif(E.extract_exif_jpeg(scrubbed))
+    assert "GPS" not in meta and "GPSIFDPointer" not in meta
+    assert meta["Make"] == "SynthCam" and meta["Orientation"] == 3
+    assert (J.decode_jpeg(scrubbed)[3] == J.decode_jpeg(jb)[3]).all()
+
+
+def test_scrub_exif_gps_operator(spark):
+    """Operator semantics on the gate corpus: had_gps follows the
+    generator's parity rule, scrubbed bytes carry no GPS, everything
+    else survives, and GPS-free rows pass through byte-identical."""
+    from python_crawler_spark.operators.multimodal import (
+        scrub_exif_gps,
+        synth_geotagged_blob,
+    )
+
+    srcs = [(f"http://img.example.invalid/gps/{i}.bin",) for i in range(24)]
+    df = spark.createDataFrame(srcs, "src string")
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("bytes", T.BinaryType())]
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            yield pdf.assign(bytes=[synth_geotagged_blob(s) for s in pdf["src"]])
+
+    out = scrub_exif_gps(df.mapInPandas(fetch, schema), "bytes").collect()
+    assert any(r["had_gps"] for r in out) and not all(r["had_gps"] for r in out)
+    for r in out:
+        h = xxhash64("exif:" + r["src"]) & 0x7FFFFFFFFFFFFFFF
+        assert r["had_gps"] == (h % 2 == 0)
+        meta = E.parse_exif(E.extract_exif_jpeg(bytes(r["scrubbed_bytes"])))
+        assert "GPS" not in meta and "GPSIFDPointer" not in meta
+        assert meta["Make"] == "SynthCam"
+        if not r["had_gps"]:
+            assert bytes(r["scrubbed_bytes"]) == bytes(r["bytes"])
+
+
 # ------------------------------------------------------------ property fuzz
 
 try:

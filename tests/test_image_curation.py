@@ -296,6 +296,14 @@ def test_image_resize_png_round_trip_is_exact(spark):
         assert np.array_equal(got, resize_bilinear(px, th, tw))
 
 
+def test_exif_gps_scrub_no_shuffle(spark):
+    """The privacy scrub is a pure per-blob byte transform: fetch ->
+    scrub -> verify-reparse, three Arrow stages, zero Exchange."""
+    plan = _plan(QUERIES["exif_gps_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 3
+
+
 def test_image_resize_extract_no_shuffle(spark):
     """Thumbnailing is the canonical map-only preprocessing stage:
     range -> fetch/decode -> resize -> digest, three Arrow stages,
