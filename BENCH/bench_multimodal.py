@@ -7,6 +7,9 @@ binary-column operators a 100-TB image+caption corpus runs per row:
   images: synth fetch -> real PNG/JPEG (incl. progressive/interlaced)
           decode -> phash -> visual features (mean/std luminance, edge
           fraction, colorfulness) -> EXIF parse
+  resize: fetch -> decode -> bilinear thumbnail -> PNG re-encode
+  scrub:  geotagged JPEG fetch -> EXIF parse -> GPS strip -> rebuild
+          -> re-splice (the privacy stage)
   video:  synth mux (AVI/MP4/MKV/PCSV by hash) -> lazy demux ->
           3-frame sample -> MJPEG/PNG frame decode
   audio:  synth WAV/FLAC/PCSA -> lossless decode -> PCM features
@@ -49,7 +52,10 @@ from python_crawler_spark.operators.multimodal import (  # noqa: E402
     fetch_and_decode_images,
     fetch_and_decode_videos,
     fetch_audio,
+    resize_images,
     sample_video_frames,
+    scrub_exif_gps,
+    synth_geotagged_blob,
 )
 from python_crawler_spark.session import get_spark  # noqa: E402
 
@@ -66,6 +72,21 @@ def _timed(df) -> float:
     return time.time() - t0
 
 
+def _geotagged(spark, n: int):
+    from pyspark.sql import types as T
+
+    urls = _urls(spark, n, "gps")
+    schema = T.StructType(
+        urls.schema.fields + [T.StructField("bytes", T.BinaryType())]
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            yield pdf.assign(bytes=[synth_geotagged_blob(s) for s in pdf["src"]])
+
+    return urls.mapInPandas(fetch, schema)
+
+
 def run(spark, n_images: int, reps: int) -> dict:
     n_videos = max(8, n_images // 10)
     n_audio = max(8, n_images // 10)
@@ -78,6 +99,12 @@ def run(spark, n_images: int, reps: int) -> dict:
                 fetch_and_decode_images(_urls(spark, n_images, "img"), "src")
             )
         ).drop("bytes"),
+        "image_resize": lambda: resize_images(
+            fetch_and_decode_images(_urls(spark, n_images, "img"), "src")
+        ).drop("bytes", "thumb_bytes"),
+        "exif_gps_scrub": lambda: scrub_exif_gps(
+            _geotagged(spark, n_images), "bytes"
+        ).drop("bytes", "scrubbed_bytes"),
         "video_frame_sample": lambda: sample_video_frames(
             fetch_and_decode_videos(_urls(spark, n_videos, "vid"), "src"), n_samples=3
         ).drop("frame_bytes"),
@@ -88,6 +115,8 @@ def run(spark, n_images: int, reps: int) -> dict:
     rows_per_stage = {
         "image_decode_phash": n_images,
         "image_full_extract": n_images,
+        "image_resize": n_images,
+        "exif_gps_scrub": n_images,
         "video_frame_sample": n_videos,
         "audio_features": n_audio,
     }
