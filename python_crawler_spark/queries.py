@@ -2421,6 +2421,60 @@ FROM flags
 """
 
 
+# Classic spam/boilerplate phrases plus two drawn from the testdata
+# vocabulary so the gate has nontrivial selectivity on both sides of
+# the verdict at every SF (an all-keep gate would vacuously match its
+# oracle).
+_CAPTION_BLOCKLIST = (
+    "click here",
+    "buy now",
+    "free shipping",
+    "lorem ipsum",
+    "slow fast",
+    "row scan",
+)
+
+
+def q_caption_blocklist_filter(spark, sf_dir):
+    """C4-style caption blocklist gate (Raffel et al. 2020 §2.2 drop
+    pages containing blocklisted phrases; LAION applies the same shape
+    to captions for spam/boilerplate/safety lists): a caption is kept
+    iff it contains NO blocklisted phrase as a whole-word match
+    (case-insensitive; the caption is space-padded and lowercased so
+    ' phrase ' containment IS the word-boundary test — identical
+    arithmetic on both engines, no regex dialect divergence). Emits
+    the per-caption hit count so list curators can audit which
+    phrases fire.
+
+    Scale: the phrase list is a compile-time literal array folded into
+    codegen (a production list of a few thousand entries becomes a
+    broadcast join or an Aho-Corasick pandas_udf; this shape is the
+    <100-phrase case) — one projection over the corpus, zero Exchange
+    (plan-asserted), filters push to the scan when composed."""
+    img = _image_pairs(_t(spark, sf_dir, "documents"))
+    arr = ", ".join("'" + p + "'" for p in _CAPTION_BLOCKLIST)
+    padded = "concat(' ', lower(caption), ' ')"
+    return img.selectExpr(
+        "image_id",
+        f"size(filter(array({arr}), p -> contains({padded},"
+        " concat(' ', p, ' ')))) AS n_hits",
+    ).selectExpr("image_id", "n_hits", "n_hits = 0 AS keep")
+
+
+SQL_CAPTION_BLOCKLIST_FILTER = f"""
+WITH {_IMG_PAIRS_CTE}, hits AS (
+  SELECT image_id,
+         {" + ".join(
+             "CASE WHEN contains(' ' || lower(caption) || ' ', ' " + p + " ')"
+             " THEN 1 ELSE 0 END"
+             for p in _CAPTION_BLOCKLIST
+         )} AS n_hits
+  FROM imgs
+)
+SELECT image_id, n_hits, n_hits = 0 AS keep FROM hits
+"""
+
+
 def q_clip_alignment_filter(spark, sf_dir):
     """CLIP-score alignment gate — the core LAION filter (Schuhmann et
     al. 2022 §3.1: keep pairs with cosine(CLIP(image), CLIP(caption))
@@ -3306,6 +3360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "semdedup": q_semdedup,
     "image_caption_filter": q_image_caption_filter,
+    "caption_blocklist_filter": q_caption_blocklist_filter,
     "clip_alignment_filter": q_clip_alignment_filter,
     "aspect_bucket_stats": q_aspect_bucket_stats,
     "shard_pack": q_shard_pack,
@@ -3369,6 +3424,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "semdedup": SQL_SEMDEDUP,
     "image_caption_filter": SQL_IMAGE_CAPTION_FILTER,
+    "caption_blocklist_filter": SQL_CAPTION_BLOCKLIST_FILTER,
     "clip_alignment_filter": SQL_CLIP_ALIGNMENT_FILTER,
     "aspect_bucket_stats": SQL_ASPECT_BUCKET_STATS,
     "shard_pack": SQL_SHARD_PACK,

@@ -296,6 +296,37 @@ def test_image_resize_png_round_trip_is_exact(spark):
         assert np.array_equal(got, resize_bilinear(px, th, tw))
 
 
+def test_caption_blocklist_word_boundary_and_counts(spark, tmp_path):
+    """Whole-word semantics: 'slow fastest' must NOT hit 'slow fast';
+    matches are case-insensitive; n_hits counts distinct phrases; the
+    testdata-vocabulary phrases give the gate real selectivity."""
+    rows = [
+        (1, "a SLOW FAST table", "en", "s", 0),        # 1 hit, case-folded
+        (2, "the slow fastest row scans", "en", "s", 0),  # boundary: 0 hits
+        (3, "slow fast and row scan here", "en", "s", 0),  # 2 distinct hits
+        (4, "nothing objectionable", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["image_id"]: (r["n_hits"], r["keep"])
+        for r in QUERIES["caption_blocklist_filter"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (1, False)
+    assert got[2] == (0, True)
+    assert got[3] == (2, False)
+    assert got[4] == (0, True)
+
+
+def test_caption_blocklist_plan_zero_exchange(spark):
+    """The phrase list folds into codegen: one projection, no
+    Exchange, no Python stage."""
+    plan = _plan(QUERIES["caption_blocklist_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_exif_gps_scrub_no_shuffle(spark):
     """The privacy scrub is a pure per-blob byte transform: fetch ->
     scrub -> verify-reparse, three Arrow stages, zero Exchange."""
