@@ -409,6 +409,92 @@ FROM bands_all GROUP BY band, bkt HAVING count(*) > {_NGRAM_BUCKET_CAP}
 """
 
 
+def q_minhash_recall_audit(spark, sf_dir):
+    """Recall audit for the MinHash-band near-dup pipeline — the dedup
+    twin of ann_recall_audit ("measure, don't guess" applied to the
+    approximation itself): ground truth is EVERY pair with exact
+    n-gram Jaccard >= 0.8 (computed over the gram equi-join — a pair
+    with J >= 0.8 necessarily shares grams, so the gram join is a
+    complete truth superset); each truth pair is flagged `recovered`
+    iff the production candidate generator (the same 3-band capped
+    bucketing ngram_jaccard_pairs ships) would have surfaced it.
+    Overall recall is then sum(recovered)/count(*); per-pair rows are
+    emitted so misses are attributable (a miss = all 3 band minima
+    differ AND/OR the pair sat in a capped bucket).
+
+    Scale: the CANDIDATE side is the production plan (band equi-join,
+    capped buckets). The TRUTH side's gram self-join is O(sum
+    bucket^2) over gram buckets and is only tractable on a bounded
+    sample — exactly how production audits an index (FAISS-style
+    sampled ground truth); at 100 TB this query runs on a 0.01-1%
+    doc sample, plan shape unchanged."""
+    grams, bands = _ngram_grams_and_bands(spark, sf_dir)
+    # production candidates: capped band buckets, same as the main query
+    oversized = (
+        bands.groupBy("band", "bkt")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > _NGRAM_BUCKET_CAP)
+        .select("band", "bkt")
+    )
+    bandsf = bands.join(F.broadcast(oversized), ["band", "bkt"], "left_anti")
+    cand = (
+        bandsf.alias("x")
+        .join(
+            bandsf.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    # exact truth: Jaccard over the gram equi-join, no bands involved
+    t_inter = (
+        grams.alias("ga")
+        .join(
+            grams.alias("gb"),
+            (F.col("ga.g") == F.col("gb.g"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(F.col("ga.doc_id").alias("a"), F.col("gb.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    truth = (
+        t_inter.join(
+            sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a"
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b", "jaccard")
+    )
+    return truth.join(cand, ["a", "b"], "left").select(
+        "a", "b", "jaccard", F.coalesce("_hit", F.lit(False)).alias("recovered")
+    )
+
+
+SQL_MINHASH_RECALL_AUDIT = f"""
+WITH {_NGRAM_PAIRS_CTES}, t_inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+  FROM grams ga JOIN grams gb ON gb.g = ga.g AND ga.doc_id < gb.doc_id
+  GROUP BY ga.doc_id, gb.doc_id
+), truth AS (
+  SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+  FROM t_inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE round(i / (sa.n + sb.n - i), 4) >= 0.8
+)
+SELECT t.a, t.b, t.jaccard, (p.a IS NOT NULL) AS recovered
+FROM truth t LEFT JOIN pairs p ON p.a = t.a AND p.b = t.b
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-component duplicate CLUSTERS over the near-dup pair
     graph — the step a training-data dedup pipeline runs after pair
@@ -3322,6 +3408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_band_overflow": q_ngram_band_overflow,
+    "minhash_recall_audit": q_minhash_recall_audit,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_stars": q_dedup_clusters_stars,
     "simhash_dedup": q_simhash_dedup,
@@ -3386,6 +3473,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_near_dup": SQL_MINHASH_NEAR_DUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_band_overflow": SQL_NGRAM_BAND_OVERFLOW,
+    "minhash_recall_audit": SQL_MINHASH_RECALL_AUDIT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_clusters_stars": SQL_DEDUP_CLUSTERS,
     "simhash_dedup": SQL_SIMHASH_DEDUP,

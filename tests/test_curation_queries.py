@@ -399,3 +399,33 @@ def test_split_leakage_plan_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_recall_audit_recovers_and_attributes_misses(spark, tmp_path):
+    """A genuine near-dup pair is ground truth AND recovered (identical
+    gram sets collide on every band); a boilerplate cluster larger
+    than the bucket cap stays ground truth but UNRECOVERED — the audit
+    surfaces exactly the pairs the cap routed away from LSH."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base + " tail"  # J = 38/41 ~ 0.93
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [(1, base, "en", "s", 0), (2, near, "en", "s", 0)]
+    rows += [(100 + i, boiler, "en", "s", 0) for i in range(70)]  # cap is 64
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["minhash_recall_audit"](spark, str(tmp_path)).collect()
+    got = {(r["a"], r["b"]): r for r in out}
+    assert got[(1, 2)]["recovered"] is True
+    assert got[(1, 2)]["jaccard"] >= 0.8
+    boiler_pairs = [r for (a, b), r in got.items() if a >= 100 and b >= 100]
+    assert len(boiler_pairs) == 70 * 69 // 2  # all truth pairs present
+    assert all(r["jaccard"] == 1.0 and r["recovered"] is False for r in boiler_pairs)
+
+
+def test_minhash_recall_audit_plan_equi_joins_only(spark):
+    """Truth and candidate sides are both equi-joins (gram key / band
+    key) — never doc x doc, no Python stage."""
+    plan = _plan(QUERIES["minhash_recall_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
