@@ -129,3 +129,47 @@ def test_ann_recall_audit_plan_no_cartesian(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "CartesianProduct" not in plan
+
+
+# Queries whose plans CONTAIN a BroadcastNestedLoopJoin by design —
+# each against a bounded broadcast side (a 1-row aggregate or a
+# fixed-size query/centroid set), never data x data:
+#   cosine_topk / ivf_ann / ann_recall_audit  - bounded query+centroid sets
+#   unigram_logprob                           - broadcast 1-row corpus total
+#   semdedup                                  - hinted 8-row codebook
+#   clip_alignment_filter                     - broadcast 1-row codebook size
+#   shard_pack                                - broadcast 1-row mean shard size
+_BNLJ_BY_DESIGN = {
+    "cosine_topk",
+    "ivf_ann",
+    "ann_recall_audit",
+    "unigram_logprob",
+    "semdedup",
+    "clip_alignment_filter",
+    "shard_pack",
+}
+
+
+def test_global_plan_lint_every_gate_query(spark):
+    """The 100-TB red-flag sweep over EVERY gate query's physical
+    plan: no CartesianProduct anywhere, no row-at-a-time Python
+    (BatchEvalPython) anywhere, and BroadcastNestedLoopJoin only in
+    the whitelisted bounded-broadcast shapes above. A new query that
+    regresses into a cartesian or a row-UDF fails here even before
+    its own plan test exists."""
+    from python_crawler_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-at-a-time Python"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BY_DESIGN:
+            offenders.append((name, "unexpected BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
