@@ -262,6 +262,44 @@ try:
         for k, v in sub.items():
             assert got["Exif"][k] == v
 
+    _rat = st.tuples(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=1, max_value=2**32 - 1),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        fields=st.dictionaries(_tags, _value, min_size=1, max_size=3),
+        gps=st.fixed_dictionaries(
+            {},
+            optional={
+                "GPSLatitudeRef": st.sampled_from(["N", "S"]),
+                "GPSLatitude": st.lists(_rat, min_size=1, max_size=3),
+                "GPSLongitudeRef": st.sampled_from(["E", "W"]),
+                "GPSLongitude": st.lists(_rat, min_size=1, max_size=3),
+            },
+        ),
+        bo=st.sampled_from(["<", ">"]),
+    )
+    def test_exif_gps_round_trip_and_scrub_property(fields, gps, bo):
+        """Any GPS sub-IFD the builder accepts round-trips field-exact
+        under either byte order, and strip_gps + rebuild always yields
+        a GPS-free stream with every other field intact."""
+        f = dict(fields)
+        if gps:
+            f["GPS"] = gps
+        got = E.parse_exif(E.build_exif(f, bo))
+        for k, v in gps.items():
+            gv = got["GPS"][k]
+            # single-element RATIONAL lists parse back as the bare tuple
+            assert gv == (v[0] if isinstance(v, list) and len(v) == 1 else v)
+        clean, had = E.strip_gps(got)
+        assert had == bool(gps)
+        reparsed = E.parse_exif(E.build_exif(clean, bo))
+        assert "GPS" not in reparsed and "GPSIFDPointer" not in reparsed
+        for k, v in fields.items():
+            assert reparsed[k] == v
+
     @settings(max_examples=80, deadline=None)
     @given(data=st.binary(min_size=0, max_size=120))
     def test_exif_parser_never_hangs_or_crashes_unguarded(data):
