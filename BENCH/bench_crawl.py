@@ -37,12 +37,19 @@ def spec_at(scale: float) -> WorldSpec:
     """World knobs at ``scale``. scale=1.0 targets ~20k fetched pages
     (~85x the 240-fetch e2e fixture): 16 weixin accounts x 700
     articles, 10 csm accounts x up to 13 list pages x 40 links,
-    4000 tianyan seeds."""
+    4000 tianyan seeds.
+
+    Per-page link counts are capped at 1,000: the packed-order
+    link_idx domain is [-1, 2^10-2] (1,022 links on ONE list page —
+    operators/scheduler.PRIORITY_WIDTHS, guard verified fail-loud by
+    the scale-2.0 run that tripped it), and a real list page cannot
+    exceed that anyway — world growth past scale ~1.4 comes from more
+    seeds and pages, which the other knobs scale without bound."""
     return WorldSpec(
         n_tianyan_seeds=max(2, int(4000 * scale)),
-        weixin_articles_per_account=max(2, int(700 * scale)),
+        weixin_articles_per_account=max(2, min(int(700 * scale), 1000)),
         csm_max_page_cap=max(2, int(12 * scale)),
-        csm_links_per_page=max(2, int(40 * scale)),
+        csm_links_per_page=max(2, min(int(40 * scale), 1000)),
         imgs_per_article_max=2,
     )
 

@@ -415,3 +415,35 @@ def test_unmapped_source_ref_seq_has_no_duplicates(spark):
     for r in grp:
         assert r.n == r.n_distinct, f"duplicate ref_seq in rank {r.source_rank}"
         assert (r.lo, r.hi) == (1, r.n), f"gapped ref_seq in rank {r.source_rank}"
+
+
+def test_pack_order_guard_raises_out_of_domain(spark):
+    """The packed-order guard fails loudly — never silently wraps —
+    when a field leaves its documented [-1, 2^bits-2] domain (proven
+    end-to-end by the bench_crawl scale-2.0 run that tripped it on
+    link_idx at 1,023+ links/page; pinned here at unit cost). The
+    domain edges themselves pack fine."""
+    import pytest
+
+    from python_crawler_spark.operators.scheduler import (
+        PRIORITY_WIDTHS,
+        packed_priority_col,
+    )
+
+    bits = dict(PRIORITY_WIDTHS)["link_idx"]
+    base = spark.range(1).select(
+        *(F.lit(0).cast("long").alias(n) for n, _ in PRIORITY_WIDTHS)
+    )
+    # in-domain edges: -1 sentinel and 2^bits - 2 both pack
+    lo = base.withColumn("link_idx", F.lit(-1).cast("long"))
+    hi = base.withColumn("link_idx", F.lit(2**bits - 2).cast("long"))
+    assert lo.select(packed_priority_col().alias("p")).first()["p"] is not None
+    assert hi.select(packed_priority_col().alias("p")).first()["p"] is not None
+    # one past the domain raises with the field's name in the message
+    bad = base.withColumn("link_idx", F.lit(2**bits - 1).cast("long"))
+    with pytest.raises(Exception, match="link_idx out of"):
+        bad.select(packed_priority_col().alias("p")).collect()
+    # and NULL is out of domain too (a silent NULL would sort first)
+    nul = base.withColumn("link_idx", F.lit(None).cast("long"))
+    with pytest.raises(Exception, match="link_idx out of"):
+        nul.select(packed_priority_col().alias("p")).collect()
