@@ -1537,6 +1537,79 @@ def q_embed_cosine_dedup(spark, sf_dir):
     return pairs.filter(F.col("cosine") >= 0.3)
 
 
+_AUDIT_SAMPLE = 128
+
+
+def q_embed_dedup_recall_audit(spark, sf_dir):
+    """Recall audit for the sign-LSH embedding dedup — completing the
+    audit triple beside ann_recall_audit (IVF) and
+    minhash_recall_audit (text LSH): on a FIXED-SIZE audit sample
+    (vec_id < 128 — bounded by construction, so the exact all-pairs
+    truth side is a broadcast nested-loop over ~8k pairs, the same
+    bounded-broadcast shape as the ANN audit), ground truth is every
+    pair with exact cosine >= 0.3; each is flagged `recovered` iff the
+    production sign-LSH bucketing (first-8-dim sign signature,
+    embed_cosine_dedup) co-buckets it. Misses are exactly the pairs
+    whose first-8 signs differ — the quantity a curator tunes the
+    signature width against.
+
+    The synthetic random 64-dim vectors make measured recall LOW at
+    this threshold (cos 0.3 barely correlates with 8 sign agreements)
+    — which is the audit working: real near-dup corpora audit at
+    ~0.95 cosine where sign-LSH recall is high, and THIS query is how
+    they'd know. Scale: both sides are the bounded sample; production
+    samples k vectors the same way — plan shape is sample-size-, not
+    corpus-, dependent."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUDIT_SAMPLE)
+    sig = F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) > 0, "1").otherwise("0")
+            for i in range(8)
+        ]
+    )
+    d = emb.select("vec_id", "embedding", sig.alias("bkt"))
+    a, b = d.alias("a"), F.broadcast(d.alias("b"))
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = "sqrt(aggregate({s}.embedding, CAST(0.0 AS DOUBLE)," \
+          " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                dot / (F.expr(nrm.format(s="a")) * F.expr(nrm.format(s="b"))), 4
+            ).alias("cosine"),
+            (F.col("a.bkt") == F.col("b.bkt")).alias("recovered"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    return truth
+
+
+SQL_EMBED_DEDUP_RECALL_AUDIT = f"""
+WITH d AS (
+  SELECT vec_id, embedding,
+         {" || ".join(f"CASE WHEN embedding[{i + 1}] > 0 THEN '1' ELSE '0' END" for i in range(8))} AS bkt
+  FROM embeddings WHERE vec_id < {_AUDIT_SAMPLE}
+), pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.bkt = b.bkt AS recovered,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x,
+         CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+)
+SELECT va, vb,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine,
+       recovered
+FROM pairs GROUP BY va, vb, recovered
+HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) >= 0.3
+"""
+
+
 _SIG_SQL = " || ".join(
     f"CASE WHEN embedding[{i+1}] > 0 THEN '1' ELSE '0' END" for i in range(8)
 )
@@ -3440,6 +3513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_sample": q_domain_mix_sample,
     "unigram_logprob": q_unigram_logprob,
     "embed_cosine_dedup": q_embed_cosine_dedup,
+    "embed_dedup_recall_audit": q_embed_dedup_recall_audit,
     "robots_prefix_gate": q_robots_prefix_gate,
     "robots_wildcard_gate": q_robots_wildcard,
     "streaming_fetch_plan": q_streaming_fetch_plan,
@@ -3505,6 +3579,7 @@ ORACLE_SQL: dict[str, str] = {
     "domain_mix_sample": SQL_DOMAIN_MIX_SAMPLE,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "embed_cosine_dedup": SQL_EMBED_COSINE_DEDUP,
+    "embed_dedup_recall_audit": SQL_EMBED_DEDUP_RECALL_AUDIT,
     "robots_prefix_gate": SQL_ROBOTS_PREFIX_GATE,
     "robots_wildcard_gate": SQL_ROBOTS_WILDCARD,
     "streaming_fetch_plan": SQL_STREAMING_FETCH_PLAN,

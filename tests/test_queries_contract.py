@@ -147,6 +147,7 @@ _BNLJ_BY_DESIGN = {
     "semdedup",
     "clip_alignment_filter",
     "shard_pack",
+    "embed_dedup_recall_audit",  # fixed-size audit sample, both sides bounded
 }
 
 
@@ -173,3 +174,39 @@ def test_global_plan_lint_every_gate_query(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BY_DESIGN:
             offenders.append((name, "unexpected BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_embed_dedup_recall_audit_matches_numpy_recompute(spark):
+    """Independent numpy reimplementation of the sign-LSH recall audit
+    (exact all-pairs cosine over the fixed sample, 8-dim sign
+    signature, co-bucket recovery flag) pins the Spark result
+    row-for-row — and the fixture must contain at least one recovered
+    and one missed truth pair for the audit to be informative."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    V = {
+        int(i): np.asarray(e, dtype=np.float64)
+        for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        if int(i) < 128
+    }
+    sig = {v: tuple(x > 0 for x in V[v][:8]) for v in V}
+    want = {}
+    for a in V:
+        for b in V:
+            if a < b:
+                c = round(
+                    float(V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))),
+                    4,
+                )
+                if c >= 0.3:
+                    want[(a, b)] = (c, sig[a] == sig[b])
+
+    rows = {
+        (r["va"], r["vb"]): (r["cosine"], r["recovered"])
+        for r in QUERIES["embed_dedup_recall_audit"](spark, SF_DIR).collect()
+    }
+    assert rows == want
+    flags = {rec for _, rec in want.values()}
+    assert flags == {True, False}  # both recovered and missed pairs present
