@@ -286,14 +286,31 @@ def decode_standard(data: bytes) -> tuple[int, int, str, np.ndarray]:
     functions/gif.decode_gif (LZW + palettes + interlace; first frame
     here, full animation via functions/gif.decode_gif_frames)."""
     if data[:8] == _PNG_SIG:
-        return decode_png(data)
-    if data[:3] == _JPEG_SIG:
-        return JPEG.decode_jpeg(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
+        fmt, dec = "png", decode_png
+    elif data[:3] == _JPEG_SIG:
+        fmt, dec = "jpeg", JPEG.decode_jpeg
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
         from . import gif as GIF
 
-        return GIF.decode_gif(data)
-    raise ValueError(f"unrecognized image signature {data[:4]!r}")
+        fmt, dec = "gif", GIF.decode_gif
+    else:
+        raise ValueError(f"unrecognized image signature {data[:4]!r}")
+    # Typed-failure boundary: a crawler feeds this ARBITRARY web bytes,
+    # and the internal decoders walk untrusted offsets/codes — zlib
+    # errors, short reads (struct/IndexError), and bogus code tables
+    # (KeyError) are all just "malformed stream" to the caller.
+    # ValueError is the single decode-failure type (fuzz-pinned in
+    # tests); NotImplementedError still escapes untouched — it marks a
+    # VALID stream using an unimplemented library-class feature, the
+    # repo's documented loud seam, not corruption.
+    try:
+        return dec(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"malformed {fmt} stream: {type(e).__name__}: {e}"
+        ) from e
 
 
 def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

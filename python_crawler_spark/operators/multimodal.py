@@ -345,7 +345,9 @@ def with_rehost_id(imgs: DataFrame, src_col: str = "src") -> DataFrame:
     )
 
 
-def extract_image_features(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def extract_image_features(
+    imgs: DataFrame, bytes_col: str = "bytes", on_error: str = "raise"
+) -> DataFrame:
     """Visual-statistics columns from a binary image column: mean/std
     luminance, gradient edge fraction, and Hasler-Süsstrunk
     colorfulness (functions/images.image_features) — the per-image
@@ -354,7 +356,18 @@ def extract_image_features(imgs: DataFrame, bytes_col: str = "bytes") -> DataFra
 
     Same 100-TB shape as extract_image_exif: Arrow-batched mapInPandas
     over the opaque binary column, decode + numpy math per batch, no
-    shuffle, bytes never leave the scanning executor."""
+    shuffle, bytes never leave the scanning executor.
+
+    ``on_error``: 'raise' (default — the deterministic in-sandbox
+    corpus is valid by construction, so a failure is a codec
+    regression and must fail loudly) or 'null' — the production
+    crawl setting: a malformed blob (decode_image's typed ValueError)
+    yields NULL feature columns instead of killing the stage, and the
+    caller routes `mean_lum IS NULL` rows to a quarantine table. A
+    single corrupt image on an open-web crawl must not fail a
+    100-partition job."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
         imgs.schema.fields
         + [
@@ -369,8 +382,13 @@ def extract_image_features(imgs: DataFrame, bytes_col: str = "bytes") -> DataFra
         for pdf in batches:
             ml, sl, ef, cf = [], [], [], []
             for blob in pdf[bytes_col]:
-                _, _, _, px = IMG.decode_image(bytes(blob))
-                a, b, c, d = IMG.image_features(px)
+                try:
+                    _, _, _, px = IMG.decode_image(bytes(blob))
+                    a, b, c, d = IMG.image_features(px)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    a = b = c = d = None
                 ml.append(a)
                 sl.append(b)
                 ef.append(c)

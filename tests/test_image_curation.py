@@ -465,3 +465,82 @@ def test_clip_alignment_plan_no_cartesian_no_forced_codebook_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row codebook size
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decode_image_malformed_bytes_raise_typed_valueerror():
+    """The crawler's decode boundary sees ARBITRARY web bytes: any
+    mutation of a valid stream (truncation, byte flips, spliced tails)
+    must either still decode or raise decode_image's typed ValueError
+    — never leak zlib.error / struct.error / IndexError / KeyError
+    from the decoder internals (NotImplementedError stays reserved for
+    valid streams hitting a documented library-class seam). Seeded
+    fuzz over all three wire formats."""
+    import random
+
+    from python_crawler_spark.functions.images import decode_image
+    from python_crawler_spark.operators.multimodal import synth_image_blob
+
+    rng = random.Random(7)
+    blobs = [synth_image_blob(f"http://x.invalid/{i}.bin") for i in range(12)]
+    decoded = failed = 0
+    for b in blobs:
+        for _ in range(80):
+            bb = bytearray(b)
+            op = rng.randrange(3)
+            if op == 0:
+                bb = bb[: rng.randrange(1, len(bb))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    bb[rng.randrange(len(bb))] = rng.randrange(256)
+            else:
+                bb = bb[: rng.randrange(len(bb))] + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(40))
+                )
+            try:
+                decode_image(bytes(bb))
+                decoded += 1
+            except (ValueError, NotImplementedError):
+                failed += 1
+    assert failed > 0  # the fuzz actually corrupts
+    assert decoded + failed == 12 * 80  # nothing else escaped
+
+
+def test_extract_image_features_on_error_null_quarantines(spark):
+    """on_error='null': a corrupt blob yields NULL feature columns (the
+    quarantine predicate is `mean_lum IS NULL`) while valid rows in the
+    same batch are unaffected; the default 'raise' mode still fails
+    loudly on the same input."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from python_crawler_spark.functions.images import (
+        decode_image,
+        image_features,
+    )
+    from python_crawler_spark.operators.multimodal import (
+        extract_image_features,
+        synth_image_blob,
+    )
+
+    good = synth_image_blob("http://x.invalid/good.bin")
+    corrupt = good[:17]  # truncated mid-header
+    rows = [("good", bytearray(good)), ("bad", bytearray(corrupt))]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("tag", T.StringType()),
+                T.StructField("bytes", T.BinaryType()),
+            ]
+        ),
+    )
+    out = {
+        r["tag"]: r
+        for r in extract_image_features(df, "bytes", on_error="null").collect()
+    }
+    assert out["bad"]["mean_lum"] is None and out["bad"]["colorfulness"] is None
+    _, _, _, px = decode_image(good)
+    assert out["good"]["mean_lum"] == image_features(px)[0]
+    with pytest.raises(Exception, match="malformed|truncated|signature|stream"):
+        extract_image_features(df, "bytes", on_error="raise").collect()
