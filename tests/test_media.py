@@ -449,3 +449,56 @@ def test_ima_adpcm_golden_block():
         pred, idx = MED._ima_step_one(pred, idx, n)
         expect.append(pred)
     assert out[1:].tolist() == expect  # out[0] is the header predictor
+
+
+def test_demux_malformed_bytes_raise_typed_errors_only():
+    """The container demuxers (AVI/MP4/Matroska/PCSV) and audio
+    decoders (WAV/FLAC/PCSA) see ARBITRARY bytes on a real crawl: any
+    mutation of a valid stream must either still parse or raise
+    ValueError (malformed) / NotImplementedError (valid stream,
+    documented library-class seam) — the same typed-failure contract
+    decode_image enforces for images. Seeded fuzz, all containers via
+    the hash-cycled synth corpora."""
+    import random
+
+    from python_crawler_spark.functions import media as MED
+    from python_crawler_spark.operators.multimodal import (
+        synth_audio_blob,
+        synth_video_blob,
+    )
+
+    rng = random.Random(11)
+
+    def mutate(b: bytes) -> bytes:
+        bb = bytearray(b)
+        op = rng.randrange(3)
+        if op == 0:
+            return bytes(bb[: rng.randrange(1, len(bb))])
+        if op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            return bytes(bb)
+        return bytes(bb[: rng.randrange(len(bb))]) + bytes(
+            rng.randrange(256) for _ in range(rng.randrange(40))
+        )
+
+    vids = [synth_video_blob(f"http://v.invalid/{i}.bin") for i in range(8)]
+    auds = [synth_audio_blob(f"http://a.invalid/{i}.bin") for i in range(8)]
+    n = failed = 0
+    for b in vids:
+        for _ in range(40):
+            n += 1
+            try:
+                MED.video_info(mutate(b))
+                list(MED.iter_frames(mutate(b)))
+            except (ValueError, NotImplementedError):
+                failed += 1
+    for b in auds:
+        for _ in range(40):
+            n += 1
+            try:
+                MED.decode_audio(mutate(b))
+            except (ValueError, NotImplementedError):
+                failed += 1
+    assert failed > 0  # the fuzz actually corrupts
+    # any other exception type propagates out of the try and fails here
