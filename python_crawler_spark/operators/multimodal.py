@@ -210,13 +210,20 @@ def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
 
 
 def resize_images(
-    imgs: DataFrame, max_side: int = 16, bytes_col: str = "bytes"
+    imgs: DataFrame, max_side: int = 16, bytes_col: str = "bytes",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Thumbnail stage (training-pipeline resize): decode -> bilinear
     downscale to max_side (aspect-preserving, never upscales) ->
     re-encode lossless. Adds thumb_bytes/thumb_w/thumb_h. Both the
     resize math (functions/images.resize_bilinear) and the standard
-    codecs it reads (PNG/JPEG/GIF) are real implementations."""
+    codecs it reads (PNG/JPEG/GIF) are real implementations.
+
+    ``on_error``: 'raise' (default) or 'null' — the production crawl
+    setting: a malformed blob (decode_image's typed ValueError) yields
+    NULL thumb columns for quarantine instead of killing the stage."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
         imgs.schema.fields
         + [
@@ -230,13 +237,22 @@ def resize_images(
         for pdf in batches:
             blobs, ws, hs = [], [], []
             for blob in pdf[bytes_col]:
-                w, h, _fmt, px = IMG.decode_image(bytes(blob))
-                th, tw = IMG.thumbnail_dims(h, w, max_side)
-                tp = IMG.resize_bilinear(px, th, tw)
-                blobs.append(IMG.encode_image(tp, "png"))
+                try:
+                    w, h, _fmt, px = IMG.decode_image(bytes(blob))
+                    th, tw = IMG.thumbnail_dims(h, w, max_side)
+                    tb = IMG.encode_image(IMG.resize_bilinear(px, th, tw), "png")
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    tb = th = tw = None
+                blobs.append(tb)
                 ws.append(tw)
                 hs.append(th)
-            yield pdf.assign(thumb_bytes=blobs, thumb_w=ws, thumb_h=hs)
+            yield pdf.assign(
+                thumb_bytes=blobs,
+                thumb_w=pd.array(ws, dtype="Int32"),
+                thumb_h=pd.array(hs, dtype="Int32"),
+            )
 
     return imgs.mapInPandas(run, out_schema)
 
@@ -398,7 +414,9 @@ def extract_image_features(
     return imgs.mapInPandas(run, out_schema)
 
 
-def extract_image_exif(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def extract_image_exif(
+    imgs: DataFrame, bytes_col: str = "bytes", on_error: str = "raise"
+) -> DataFrame:
     """EXIF metadata columns from a binary image column: camera
     make/model, orientation, capture time, and the upright (display)
     dimensions after applying the orientation — NULLs for formats that
@@ -406,7 +424,15 @@ def extract_image_exif(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
     Arrow-batched mapInPandas over the opaque binary column: the
     100-TB-shape for metadata extraction — no shuffle, no driver
-    involvement, bytes never leave the executor that scanned them."""
+    involvement, bytes never leave the executor that scanned them.
+
+    ``on_error``: 'raise' (default — a parse failure on the
+    valid-by-construction sandbox corpus is a codec regression) or
+    'null' — the production setting: a CORRUPT APP1 segment
+    (parse_exif's typed ValueError) yields all-NULL EXIF columns like
+    an absent segment does, instead of killing the stage."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
         imgs.schema.fields
         + [
@@ -427,9 +453,14 @@ def extract_image_exif(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
                 orient = uw = uh = None
                 b = bytes(blob)
                 if b[:2] == b"\xff\xd8":
-                    tiff = EXIF.extract_exif_jpeg(b)
-                    if tiff is not None:
-                        meta = EXIF.parse_exif(tiff)
+                    try:
+                        tiff = EXIF.extract_exif_jpeg(b)
+                        meta = EXIF.parse_exif(tiff) if tiff is not None else None
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        meta = None  # corrupt segment quarantines as absent
+                    if meta is not None:
                         make = meta.get("Make")
                         model = meta.get("Model")
                         orient = meta.get("Orientation")

@@ -544,3 +544,56 @@ def test_extract_image_features_on_error_null_quarantines(spark):
     assert out["good"]["mean_lum"] == image_features(px)[0]
     with pytest.raises(Exception, match="malformed|truncated|signature|stream"):
         extract_image_features(df, "bytes", on_error="raise").collect()
+
+
+def test_exif_and_resize_on_error_null_quarantine(spark):
+    """The other two bytes-column operators share the quarantine
+    contract: a JPEG with a corrupt APP1 yields all-NULL EXIF columns
+    under on_error='null' (raises by default); a malformed blob yields
+    NULL thumb columns from resize_images while the valid row in the
+    same batch is untouched."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from python_crawler_spark.operators.multimodal import (
+        extract_image_exif,
+        resize_images,
+        synth_image_blob,
+    )
+
+    jpeg_src = next(
+        f"http://x.invalid/{i}.bin"
+        for i in range(64)
+        if synth_image_blob(f"http://x.invalid/{i}.bin")[:2] == b"\xff\xd8"
+    )
+    good = synth_image_blob(jpeg_src)
+    # corrupt the APP1 payload in place (keep SOI + marker structure)
+    app1 = good.find(b"\xff\xe1")
+    bad_exif = bytearray(good)
+    bad_exif[app1 + 12 : app1 + 20] = b"\x00" * 8  # clobber the TIFF header
+    schema = T.StructType(
+        [T.StructField("tag", T.StringType()), T.StructField("bytes", T.BinaryType())]
+    )
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("bad", bad_exif)], schema
+    )
+    out = {
+        r["tag"]: r
+        for r in extract_image_exif(df, "bytes", on_error="null").collect()
+    }
+    assert out["bad"]["exif_make"] is None and out["bad"]["upright_w"] is None
+    assert out["good"]["exif_make"] == "SynthCam"
+    with pytest.raises(Exception, match="TIFF|EXIF|malformed"):
+        extract_image_exif(df, "bytes", on_error="raise").collect()
+
+    df2 = spark.createDataFrame(
+        [("good", bytearray(good)), ("bad", bytearray(good[:9]))], schema
+    )
+    out2 = {
+        r["tag"]: r for r in resize_images(df2, 16, "bytes", on_error="null").collect()
+    }
+    assert out2["bad"]["thumb_bytes"] is None and out2["bad"]["thumb_w"] is None
+    assert out2["good"]["thumb_w"] is not None
+    with pytest.raises(Exception, match="malformed|truncated|signature|stream"):
+        resize_images(df2, 16, "bytes", on_error="raise").collect()
