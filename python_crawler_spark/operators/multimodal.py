@@ -220,8 +220,9 @@ def resize_images(
     codecs it reads (PNG/JPEG/GIF) are real implementations.
 
     ``on_error``: 'raise' (default) or 'null' — the production crawl
-    setting: a malformed blob (decode_image's typed ValueError) yields
-    NULL thumb columns for quarantine instead of killing the stage."""
+    setting: an undecodable blob (malformed ValueError OR
+    library-seam NotImplementedError) yields NULL thumb columns for
+    quarantine instead of killing the stage."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
@@ -241,7 +242,7 @@ def resize_images(
                     w, h, _fmt, px = IMG.decode_image(bytes(blob))
                     th, tw = IMG.thumbnail_dims(h, w, max_side)
                     tb = IMG.encode_image(IMG.resize_bilinear(px, th, tw), "png")
-                except ValueError:
+                except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
                     tb = th = tw = None
@@ -258,7 +259,8 @@ def resize_images(
 
 
 def sample_video_frames(
-    videos: DataFrame, n_samples: int = 4, video_col: str = "video_bytes"
+    videos: DataFrame, n_samples: int = 4, video_col: str = "video_bytes",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame-sampling stage: each video row explodes into n evenly
     spaced frame rows (frame_idx, frame bytes, dims, phash). Frames
@@ -266,7 +268,16 @@ def sample_video_frames(
     decodes the other F-k (functions/media.iter_frames). The video
     bytes column is DROPPED from the output so the explosion doesn't
     replicate megabytes per frame row (at corpus scale the frames
-    table is written separately from the videos table)."""
+    table is written separately from the videos table).
+
+    ``on_error``: 'raise' (default) or 'null' — an undecodable video
+    (malformed ValueError OR an unimplemented-bitstream
+    NotImplementedError, e.g. h264 inside a valid container) emits
+    ONE row with NULL frame columns (quarantine predicate:
+    `frame_idx IS NULL`) instead of killing the stage; frames already
+    emitted for that video are dropped so the verdict is per-video."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     from ..functions import media as MED
 
     keep = [f for f in videos.schema.fields if f.name != video_col]
@@ -289,24 +300,42 @@ def sample_video_frames(
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r[video_col])
-                n, fps = MED.video_info(data)
-                wanted = set(MED.sample_frame_indices(n, n_samples))
-                for idx, blob in MED.iter_frames(data):
-                    if idx not in wanted:
-                        continue
-                    w, h, _fmt, px = IMG.decode_image(blob)
-                    rows.append(
+                vid_rows = []
+                try:
+                    n, fps = MED.video_info(data)
+                    wanted = set(MED.sample_frame_indices(n, n_samples))
+                    for idx, blob in MED.iter_frames(data):
+                        if idx not in wanted:
+                            continue
+                        w, h, _fmt, px = IMG.decode_image(blob)
+                        vid_rows.append(
+                            {
+                                **{k: r[k] for k in keep_names},
+                                "n_frames": n,
+                                "fps": fps,
+                                "frame_idx": idx,
+                                "frame_bytes": blob,
+                                "frame_w": w,
+                                "frame_h": h,
+                                "frame_phash": IMG.phash64(px),
+                            }
+                        )
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+                    vid_rows = [  # one NULL verdict row per corrupt video
                         {
                             **{k: r[k] for k in keep_names},
-                            "n_frames": n,
-                            "fps": fps,
-                            "frame_idx": idx,
-                            "frame_bytes": blob,
-                            "frame_w": w,
-                            "frame_h": h,
-                            "frame_phash": IMG.phash64(px),
+                            "n_frames": None,
+                            "fps": None,
+                            "frame_idx": None,
+                            "frame_bytes": None,
+                            "frame_w": None,
+                            "frame_h": None,
+                            "frame_phash": None,
                         }
-                    )
+                    ]
+                rows.extend(vid_rows)
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
@@ -314,12 +343,19 @@ def sample_video_frames(
 
 
 def extract_audio_features(
-    audio: DataFrame, audio_col: str = "audio_bytes"
+    audio: DataFrame, audio_col: str = "audio_bytes", on_error: str = "raise"
 ) -> DataFrame:
     """Audio feature stage: real PCM math (duration/RMS/zero-cross/
     peak) per row over PCSA, real WAV, or real FLAC bytes (per-blob
     dispatch); perceptual mp3/aac stay the library seam
-    (functions/media.decode_audio_standard)."""
+    (functions/media.decode_audio_standard).
+
+    ``on_error``: 'raise' (default) or 'null' — an undecodable clip
+    (malformed ValueError OR an unimplemented-codec
+    NotImplementedError, e.g. mp3 PCM) yields NULL feature columns
+    for quarantine instead of killing the stage."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     from ..functions import media as MED
 
     out_schema = T.StructType(
@@ -332,12 +368,25 @@ def extract_audio_features(
             T.StructField("peak", T.DoubleType()),
         ]
     )
+    _NULLS = dict.fromkeys(
+        ("sample_rate", "duration_s", "rms", "zero_cross_rate", "peak")
+    )
+
+    def one(b: bytes) -> dict:
+        try:
+            return MED.audio_features(b)
+        except (ValueError, NotImplementedError):
+            if on_error == "raise":
+                raise
+            return _NULLS
 
     def run(batches):
         for pdf in batches:
-            feats = [MED.audio_features(bytes(b)) for b in pdf[audio_col]]
+            feats = [one(bytes(b)) for b in pdf[audio_col]]
             yield pdf.assign(
-                sample_rate=[f["sample_rate"] for f in feats],
+                sample_rate=pd.array(
+                    [f["sample_rate"] for f in feats], dtype="Int32"
+                ),
                 duration_s=[f["duration_s"] for f in feats],
                 rms=[f["rms"] for f in feats],
                 zero_cross_rate=[f["zero_cross_rate"] for f in feats],
@@ -377,11 +426,13 @@ def extract_image_features(
     ``on_error``: 'raise' (default — the deterministic in-sandbox
     corpus is valid by construction, so a failure is a codec
     regression and must fail loudly) or 'null' — the production
-    crawl setting: a malformed blob (decode_image's typed ValueError)
-    yields NULL feature columns instead of killing the stage, and the
-    caller routes `mean_lum IS NULL` rows to a quarantine table. A
-    single corrupt image on an open-web crawl must not fail a
-    100-partition job."""
+    crawl setting: an undecodable blob — malformed (typed ValueError)
+    OR a valid stream needing an unimplemented library-class codec
+    (NotImplementedError; the caller cannot act on the difference
+    either way) — yields NULL feature columns instead of killing the
+    stage, and the caller routes `mean_lum IS NULL` rows to a
+    quarantine table. A single corrupt image on an open-web crawl
+    must not fail a 100-partition job."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
@@ -401,7 +452,7 @@ def extract_image_features(
                 try:
                     _, _, _, px = IMG.decode_image(bytes(blob))
                     a, b, c, d = IMG.image_features(px)
-                except ValueError:
+                except (ValueError, NotImplementedError):
                     if on_error == "raise":
                         raise
                     a = b = c = d = None
@@ -456,7 +507,7 @@ def extract_image_exif(
                     try:
                         tiff = EXIF.extract_exif_jpeg(b)
                         meta = EXIF.parse_exif(tiff) if tiff is not None else None
-                    except ValueError:
+                    except (ValueError, NotImplementedError):
                         if on_error == "raise":
                             raise
                         meta = None  # corrupt segment quarantines as absent

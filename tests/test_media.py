@@ -502,3 +502,57 @@ def test_demux_malformed_bytes_raise_typed_errors_only():
                 failed += 1
     assert failed > 0  # the fuzz actually corrupts
     # any other exception type propagates out of the try and fails here
+
+
+def test_video_and_audio_operators_on_error_null_quarantine(spark):
+    """sample_video_frames under on_error='null' emits ONE all-NULL
+    verdict row for a corrupt video (quarantine predicate `frame_idx
+    IS NULL`) while valid videos in the same batch explode normally;
+    extract_audio_features yields NULL feature columns for a corrupt
+    clip. Both raise by default."""
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from python_crawler_spark.operators.multimodal import (
+        extract_audio_features,
+        sample_video_frames,
+        synth_audio_blob,
+        synth_video_blob,
+    )
+
+    good_v = synth_video_blob("http://v.invalid/q.bin")
+    schema_v = T.StructType(
+        [T.StructField("tag", T.StringType()),
+         T.StructField("video_bytes", T.BinaryType())]
+    )
+    dfv = spark.createDataFrame(
+        [("good", bytearray(good_v)), ("bad", bytearray(good_v[:11]))], schema_v
+    )
+    rows = sample_video_frames(dfv, n_samples=2, on_error="null").collect()
+    by_tag = {}
+    for r in rows:
+        by_tag.setdefault(r["tag"], []).append(r)
+    assert len(by_tag["bad"]) == 1 and by_tag["bad"][0]["frame_idx"] is None
+    assert by_tag["bad"][0]["n_frames"] is None
+    assert len(by_tag["good"]) == 2
+    assert all(r["frame_idx"] is not None for r in by_tag["good"])
+    with pytest.raises(Exception):
+        sample_video_frames(dfv, n_samples=2, on_error="raise").collect()
+
+    good_a = synth_audio_blob("http://a.invalid/q.bin")
+    schema_a = T.StructType(
+        [T.StructField("tag", T.StringType()),
+         T.StructField("audio_bytes", T.BinaryType())]
+    )
+    dfa = spark.createDataFrame(
+        [("good", bytearray(good_a)), ("bad", bytearray(good_a[:7]))], schema_a
+    )
+    out = {
+        r["tag"]: r
+        for r in extract_audio_features(dfa, on_error="null").collect()
+    }
+    assert out["bad"]["sample_rate"] is None and out["bad"]["rms"] is None
+    assert out["good"]["sample_rate"] is not None
+    with pytest.raises(Exception):
+        extract_audio_features(dfa, on_error="raise").collect()
