@@ -171,13 +171,24 @@ def fetch_audio(audio: DataFrame, src_col: str = "src") -> DataFrame:
     return audio.mapInPandas(run, out_schema)
 
 
-def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
+def fetch_and_decode_images(
+    imgs: DataFrame, src_col: str = "src", on_error: str = "raise"
+) -> DataFrame:
     """bytes + (w, h, fmt, phash, small) for each image URL.
 
     In production the fetch half is an HTTP client inside the same
     mapInPandas (per-executor session, iterator pattern — SURVEY §4
     connection amortization); in-sandbox bytes are synthesized
-    deterministically from the URL."""
+    deterministically from the URL.
+
+    ``on_error``: 'raise' (default — the synthetic web is valid by
+    construction, and the e2e exact-match contract depends on every
+    fetch decoding) or 'null' — the production setting: an
+    undecodable payload keeps its bytes but yields NULL decode
+    columns (`dec_fmt IS NULL` quarantines) instead of killing the
+    crawl round."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = T.StructType(
         imgs.schema.fields
         + [
@@ -195,18 +206,37 @@ def fetch_and_decode_images(imgs: DataFrame, src_col: str = "src") -> DataFrame:
             blobs, ws, hs, fmts, phashes, smalls = [], [], [], [], [], []
             for src in pdf[src_col]:
                 blob = synth_image_blob(src)
-                w, h, fmt, dec = IMG.decode_image(blob)
+                w, h, fmt, ph, sm = _decode_cols(blob, on_error)
                 blobs.append(blob)
                 ws.append(w)
                 hs.append(h)
                 fmts.append(fmt)
-                phashes.append(IMG.phash64(dec))
-                smalls.append(IMG.is_small(blob))
+                phashes.append(ph)
+                smalls.append(sm)
             yield pdf.assign(
-                bytes=blobs, w=ws, h=hs, dec_fmt=fmts, phash=phashes, small=smalls
+                bytes=blobs,
+                w=pd.array(ws, dtype="Int32"),
+                h=pd.array(hs, dtype="Int32"),
+                dec_fmt=fmts,
+                phash=pd.array(phashes, dtype="Int64"),
+                small=smalls,
             )
 
     return imgs.mapInPandas(run, out_schema)
+
+
+def _decode_cols(blob: bytes, on_error: str):
+    """(w, h, fmt, phash, small) for one payload — the decode half of
+    fetch_and_decode_images, split out so the 'null' quarantine branch
+    is unit-testable without a corrupt synthetic web (in-sandbox the
+    fetch stage only ever produces valid bytes)."""
+    try:
+        w, h, fmt, dec = IMG.decode_image(blob)
+        return w, h, fmt, IMG.phash64(dec), IMG.is_small(blob)
+    except (ValueError, NotImplementedError):
+        if on_error == "raise":
+            raise
+        return None, None, None, None, None
 
 
 def resize_images(

@@ -597,3 +597,25 @@ def test_exif_and_resize_on_error_null_quarantine(spark):
     assert out2["good"]["thumb_w"] is not None
     with pytest.raises(Exception, match="malformed|truncated|signature|stream"):
         resize_images(df2, 16, "bytes", on_error="raise").collect()
+
+
+def test_fetch_decode_cols_quarantine_helper():
+    """The decode half of the fetch stage (split out because the
+    in-sandbox synthetic web only produces valid bytes): a valid blob
+    yields full decode columns under either mode; a corrupt blob
+    raises by default and yields all-NULLs under 'null' (the
+    `dec_fmt IS NULL` crawl-round quarantine predicate)."""
+    import pytest
+
+    from python_crawler_spark.operators.multimodal import (
+        _decode_cols,
+        synth_image_blob,
+    )
+
+    good = synth_image_blob("http://x.invalid/h.bin")
+    w, h, fmt, ph, sm = _decode_cols(good, "raise")
+    assert fmt in ("png", "jpeg") and w > 0 and h > 0 and ph is not None
+    assert _decode_cols(good, "null") == (w, h, fmt, ph, sm)
+    with pytest.raises(ValueError):
+        _decode_cols(good[:9], "raise")
+    assert _decode_cols(good[:9], "null") == (None,) * 5
